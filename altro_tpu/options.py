@@ -1,0 +1,93 @@
+"""Solver options.
+
+Mirrors the reference's flat options struct (`altro/common/solver_options.hpp:19-65`)
+plus the penalty-scaling default that the reference keeps on the constraint
+object (`altro/constraints/constraint_values.hpp:30`).
+
+Options are a *static* (hashable) dataclass: the jitted solver closes over
+them, so changing an option re-specializes the program — matching the
+reference semantics of reading options at solve time while letting XLA
+constant-fold every tolerance and schedule parameter.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class LogLevel(enum.IntEnum):
+    """Console verbosity levels (`altro/common/log_entry.hpp:27-34`)."""
+
+    SILENT = 0
+    OUTER = 1
+    OUTER_DEBUG = 2
+    INNER = 3
+    INNER_DEBUG = 4
+    DEBUG = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    # Iteration caps (`solver_options.hpp:23-25`)
+    max_iterations_total: int = 300
+    max_iterations_outer: int = 30
+    max_iterations_inner: int = 100
+
+    # Convergence tolerances (`solver_options.hpp:26-27`)
+    cost_tolerance: float = 1e-4
+    gradient_tolerance: float = 1e-2
+
+    # Backward-pass regularization schedule (`solver_options.hpp:29-35`)
+    bp_reg_increase_factor: float = 1.6
+    bp_reg_enable: bool = True
+    bp_reg_initial: float = 0.0
+    bp_reg_max: float = 1e8
+    bp_reg_min: float = 1e-8
+    bp_reg_fail_threshold: int = 100
+
+    # Forward-pass rollout guards (`solver_options.hpp:36-38`)
+    check_forwardpass_bounds: bool = True
+    state_max: float = 1e8
+    control_max: float = 1e8
+
+    # Line search (`solver_options.hpp:40-43`)
+    line_search_max_iterations: int = 20
+    line_search_lower_bound: float = 1e-8
+    line_search_upper_bound: float = 10.0
+    line_search_decrease_factor: float = 2.0
+
+    # Augmented Lagrangian (`solver_options.hpp:45-48`,
+    # `constraint_values.hpp:30` for penalty_scaling)
+    constraint_tolerance: float = 1e-4
+    maximum_penalty: float = 1e8
+    initial_penalty: float = 1.0
+    penalty_scaling: float = 10.0
+    reset_duals: bool = True
+
+    # Logging / profiling (`solver_options.hpp:49-54`)
+    header_frequency: int = 10
+    verbose: LogLevel = LogLevel.SILENT
+    profiler_enable: bool = False
+    profiler_output_to_file: bool = False
+    log_directory: str = ""
+    profile_filename: str = "profiler.out"
+
+    # Matmul precision for solver math.  TPU f32 matmuls default to bf16
+    # passes, which destroys Riccati/Cholesky conditioning; "highest" forces
+    # full f32 accumulation.  The solver's matrices are tiny (n,m ≤ ~12 per
+    # knot), so this costs nothing — the batched kernels are VPU/HBM-bound,
+    # not MXU-bound.
+    matmul_precision: str = "highest"
+
+    # Backward-pass kernel selection: "scan" (sequential Riccati recursion,
+    # the parity oracle) or "pscan" (associative-scan parallel Riccati,
+    # arXiv:1809.06360) — TPU-native replacement for the reference's strictly
+    # sequential loop (`ilqr/ilqr.hpp:402-441`).
+    backward_pass: str = "scan"
+
+    # Capacity of the per-iteration statistics arrays.  The reference grows
+    # std::vectors (`solver_stats.cpp:25-29`); under jit we preallocate.
+    stats_capacity: int = 304
+
+    def replace(self, **updates):
+        return dataclasses.replace(self, **updates)

