@@ -53,6 +53,10 @@ class DiscreteModel:
     m: int = static_field()
     jac_fn: Optional[Callable] = static_field(default=None)
     name: str = static_field(default="discrete")
+    # Set when built by `discretize()`: lets batch-native kernels use the
+    # explicit integrator Jacobian chain with layout-controlled einsums.
+    continuous_fn: Optional[Callable] = static_field(default=None)
+    method: Optional[str] = static_field(default=None)
 
     def __call__(self, x, u, t, h):
         return self.fn(self.params, x, u, t, h)
@@ -106,4 +110,6 @@ def discretize(model: ContinuousModel, method: str = "rk4") -> DiscreteModel:
         n=model.n,
         m=model.m,
         name=f"{model.name}_{method}",
+        continuous_fn=cfn,
+        method=method,
     )

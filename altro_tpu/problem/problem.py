@@ -40,6 +40,7 @@ class _CostFamily:
     name: str
     knots: np.ndarray  # sorted knot indices
     shared: bool  # params shared across knots vs stacked along axis 0
+    cost: Any = None  # representative Cost (for kernel special-casing)
 
 
 @dataclasses.dataclass
@@ -51,6 +52,7 @@ class _ConstraintFamily:
     label: str
     knots: np.ndarray
     shared: bool
+    constraint: Any = None  # representative Constraint
 
 
 @dataclasses.dataclass
@@ -60,6 +62,7 @@ class _DynamicsFamily:
     name: str
     knots: np.ndarray
     shared: bool
+    model: Any = None  # representative DiscreteModel (for integrator metadata)
 
 
 @pytree_dataclass
@@ -155,14 +158,14 @@ class Problem:
             list(enumerate(self._costs)),
             key=lambda c: (c.fn, c.expand_fn),
             make=lambda c, knots, shared: _CostFamily(
-                c.fn, c.expand_fn, c.name, knots, shared
+                c.fn, c.expand_fn, c.name, knots, shared, cost=c
             ),
         )
         dyn_fams, dyn_params = _group(
             list(enumerate(self._dynamics)),
             key=lambda d: (d.fn, d.jac_fn),
             make=lambda d, knots, shared: _DynamicsFamily(
-                d.fn, d.jac_fn, d.name, knots, shared
+                d.fn, d.jac_fn, d.name, knots, shared, model=d
             ),
         )
         con_entries = [
@@ -172,7 +175,8 @@ class Problem:
             con_entries,
             key=lambda c: (c.fn, c.jac_fn, c.cone, c.dim),
             make=lambda c, knots, shared: _ConstraintFamily(
-                c.fn, c.jac_fn, c.cone, c.dim, c.label, knots, shared
+                c.fn, c.jac_fn, c.cone, c.dim, c.label, knots, shared,
+                constraint=c,
             ),
         )
         params = ProblemParams(

@@ -1,0 +1,1 @@
+from . import benchmarking, derivative_check, logging, timer
