@@ -1,1 +1,2 @@
 from . import al, functions, ilqr, pscan, riccati
+from . import batched

@@ -1,0 +1,969 @@
+"""Batch-native AL-iLQR: thousands of solves with batch in the TPU lane dim.
+
+Why this module exists.  `jax.vmap` of the per-instance solver puts the batch
+axis FIRST, so every tiny-matrix op compiles as `[B, 3, 3]` with the size-3
+dims in the TPU's (8, 128) vector-register tiles — ~1% lane utilization, and
+the Riccati scan步 cost scales linearly with B (measured: 50 ms/pass at
+B=1024).  Here the batch lives in the LAST (lane) axis: every state is
+`[..., n, B]`, all small-matrix algebra is explicit `'...ijb,...jkb->...ikb'`
+einsums (contractions over tiny axes, elementwise over B), and the m×m
+Cholesky factor/solve is unrolled over static indices into `[B]`-wide
+elementwise ops.  Every VPU lane then does useful work.
+
+Semantics match the per-instance solver (`solver/ilqr.py`, `solver/al.py`)
+instance-by-instance: each batch element follows the same iteration path it
+would take alone, with per-instance regularization, line-search α, dual and
+penalty state, and convergence masks freezing finished instances — the
+functional replacement for running the reference solver in a loop
+(`perf/benchmark_unicycle.cpp:45-75`).
+
+Layout convention: batch axis LAST.
+  X [N+1, n, B]   U [N, m, B]   K [N, m, n, B]   d [N, m, B]
+  lam [nk, p, B]  rho [nk, B]   scalars [B]
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._pytree import pytree_dataclass, static_field, with_matmul_precision
+from ..options import SolverOptions
+from ..problem.constraints import Cone, dual_cone
+from ..problem.costs import _quadcost_eval
+from ..problem.problem import CompiledProblem, ProblemParams
+from ..types import SolverStatus
+
+# ----------------------------------------------------------------- helpers
+
+
+def mm(a, b):
+    """[..., i, j, B] @ [..., j, k, B] -> [..., i, k, B]."""
+    return jnp.einsum("...ijb,...jkb->...ikb", a, b)
+
+
+def mv(a, v):
+    """[..., i, j, B] @ [..., j, B] -> [..., i, B]."""
+    return jnp.einsum("...ijb,...jb->...ib", a, v)
+
+
+def mT(a):
+    return jnp.swapaxes(a, -3, -2)
+
+
+def dotv(a, b):
+    """[..., i, B] · [..., i, B] -> [..., B]."""
+    return jnp.sum(a * b, axis=-2)
+
+
+def chol_unrolled(M):
+    """Cholesky of [..., m, m, B] unrolled over static indices.
+
+    Returns L (lower) with NaNs where the matrix is not PD — the batched
+    analog of Eigen LLT failure (`knot_point_function_type.hpp:197-211`).
+    Every operation is elementwise over the lane (batch) axis.
+    """
+    m = M.shape[-3]
+    cols = [[None] * m for _ in range(m)]
+    for j in range(m):
+        s = M[..., j, j, :] - sum(
+            (cols[j][k] * cols[j][k] for k in range(j)), start=0.0
+        )
+        dj = jnp.sqrt(s)
+        cols[j][j] = dj
+        inv_dj = 1.0 / dj
+        for i in range(j + 1, m):
+            s = M[..., i, j, :] - sum(
+                (cols[i][k] * cols[j][k] for k in range(j)), start=0.0
+            )
+            cols[i][j] = s * inv_dj
+    return cols  # lower-triangular entries [i][j] as [..., B] arrays
+
+
+def chol_solve_mat(L, R):
+    """Solve (L Lᵀ) X = R with R [..., m, r, B], L from chol_unrolled."""
+    m = len(L)
+    r = R.shape[-2]
+    # forward: L y = R
+    y = [None] * m
+    for i in range(m):
+        acc = R[..., i, :, :] - sum(
+            (L[i][k][..., None, :] * y[k] for k in range(i)), start=0.0
+        )
+        y[i] = acc / L[i][i][..., None, :]
+    # backward: Lᵀ x = y
+    x = [None] * m
+    for i in reversed(range(m)):
+        acc = y[i] - sum(
+            (L[k][i][..., None, :] * x[k] for k in range(i + 1, m)), start=0.0
+        )
+        x[i] = acc / L[i][i][..., None, :]
+    return jnp.stack(x, axis=-3)  # [..., m, r, B]
+
+
+def chol_solve_vec(L, v):
+    """Solve (L Lᵀ) x = v with v [..., m, B]."""
+    return chol_solve_mat(L, v[..., :, None, :])[..., :, 0, :]
+
+
+def chol_failed(L):
+    """Per-instance failure mask [..., B]: any non-finite diagonal entry."""
+    bad = ~jnp.isfinite(L[0][0])
+    for i in range(1, len(L)):
+        bad = bad | ~jnp.isfinite(L[i][i])
+    return bad
+
+
+def bwhere(mask, a, b):
+    """where with a trailing-batch mask [B] against [..., B] arrays."""
+    return jnp.where(mask, a, b)
+
+
+def btree_select(mask, on_true, on_false):
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(mask, a, b), on_true, on_false)
+
+
+def zselect(mask, Za, Zb):
+    """Masked select on BatchedTrajectory (t, h carry no batch axis)."""
+    return dataclasses.replace(
+        Za, X=jnp.where(mask, Za.X, Zb.X), U=jnp.where(mask, Za.U, Zb.U)
+    )
+
+
+# ----------------------------------------------------------------- state
+
+
+@pytree_dataclass
+class BatchedStats:
+    """Per-instance counters and convergence scalars, shapes [B]."""
+
+    iterations_inner: jax.Array
+    iterations_outer: jax.Array
+    iterations_total: jax.Array
+    initial_cost: jax.Array
+    cost: jax.Array
+    cost_decrease: jax.Array
+    gradient: jax.Array
+    alpha: jax.Array
+    violations: jax.Array
+    max_penalty: jax.Array
+    regularization: jax.Array
+
+
+def batched_stats_init(B: int, dtype) -> BatchedStats:
+    z = jnp.zeros((B,), dtype)
+    i = jnp.zeros((B,), jnp.int32)
+    return BatchedStats(
+        iterations_inner=i, iterations_outer=i, iterations_total=i,
+        initial_cost=z, cost=z, cost_decrease=z, gradient=z, alpha=z,
+        violations=z, max_penalty=z, regularization=z,
+    )
+
+
+@pytree_dataclass
+class BatchedTrajectory:
+    """Batch-last trajectory: X [N+1, n, B], U [N, m, B]; shared t, h."""
+
+    X: jax.Array
+    U: jax.Array
+    t: jax.Array  # [N+1]
+    h: jax.Array  # [N]
+
+
+def to_batch_last(Z) -> BatchedTrajectory:
+    """Convert a batch-leading Trajectory (leaves [B, ...]) to batch-last."""
+    return BatchedTrajectory(
+        X=jnp.moveaxis(Z.X, 0, -1),
+        U=jnp.moveaxis(Z.U, 0, -1),
+        t=Z.t[0] if Z.t.ndim == 2 else Z.t,
+        h=Z.h[0] if Z.h.ndim == 2 else Z.h,
+    )
+
+
+def from_batch_last(Zb: BatchedTrajectory):
+    from ..types import Trajectory
+
+    B = Zb.X.shape[-1]
+    return Trajectory(
+        X=jnp.moveaxis(Zb.X, -1, 0),
+        U=jnp.moveaxis(Zb.U, -1, 0),
+        t=jnp.broadcast_to(Zb.t, (B,) + Zb.t.shape),
+        h=jnp.broadcast_to(Zb.h, (B,) + Zb.h.shape),
+    )
+
+
+# ----------------------------------------------------------------- solver
+
+
+class ALSolverBatched:
+    """Throughput-oriented batched AL-iLQR.
+
+    Restrictions vs the general solver (all satisfied by the shipped
+    problem families): a single dynamics family with shared params built by
+    `discretize()`; cost/constraint family params shared across knots or
+    stacked; problem params other than x0 shared across the batch unless
+    given a trailing batch axis via `batched_param_axes`.
+    """
+
+    def __init__(self, prob: CompiledProblem, opts: SolverOptions = None):
+        self.prob = prob
+        self.opts = opts or SolverOptions()
+        if len(prob.dynamics_families) != 1:
+            raise NotImplementedError(
+                "batched solver requires a single dynamics family"
+            )
+        fam = prob.dynamics_families[0]
+        if not fam.shared:
+            raise NotImplementedError(
+                "batched solver requires shared dynamics params"
+            )
+        self._dyn = fam
+        if self.opts.matmul_precision:
+            self.solve = with_matmul_precision(self.opts.matmul_precision)(
+                self.solve
+            )
+
+    # -------------------------------------------------------- model kernels
+    def _cont_f(self, params, x, u, t):
+        """Continuous dynamics, batch-last: x [n, B] -> xdot [n, B]."""
+        fn = self._dyn.model.continuous_fn
+        return jax.vmap(fn, in_axes=(None, -1, -1, None), out_axes=-1)(
+            params, x, u, t
+        )
+
+    def _cont_jac(self, params, x, u, t):
+        fn = self._dyn.model.continuous_fn
+        jac = jax.jacfwd(fn, argnums=(1, 2))
+        A, Bc = jax.vmap(jac, in_axes=(None, -1, -1, None), out_axes=-1)(
+            params, x, u, t
+        )
+        return A, Bc  # [n, n, B], [n, m, B]
+
+    def dyn_step(self, params, x, u, t, h):
+        """One discrete step, batch-last (x [n,B] -> [n,B])."""
+        method = self._dyn.model.method
+        if method == "rk4":
+            f = self._cont_f
+            k1 = f(params, x, u, t)
+            k2 = f(params, x + 0.5 * h * k1, u, t + 0.5 * h)
+            k3 = f(params, x + 0.5 * h * k2, u, t + 0.5 * h)
+            k4 = f(params, x + h * k3, u, t + h)
+            return x + h * (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+        if method == "euler":
+            return x + h * self._cont_f(params, x, u, t)
+        # generic discrete fn fallback
+        return jax.vmap(
+            self._dyn.fn, in_axes=(None, -1, -1, None, None), out_axes=-1
+        )(params, x, u, t, h)
+
+    def dyn_jacobian_all(self, params, Z: BatchedTrajectory):
+        """Discrete Jacobians A [N,n,n,B], Bd [N,n,m,B] for all segments.
+
+        Explicit RK4/Euler chain rule in batch-last einsums — identical math
+        to `integration.hpp:132-169` (verified equal to AD of the step).
+        """
+        N = Z.U.shape[0]
+        n = Z.X.shape[1]
+        Bsz = Z.X.shape[-1]
+        dt = Z.X.dtype
+        method = self._dyn.model.method
+        X, U = Z.X[:-1], Z.U
+        t = Z.t[:-1]
+        h = Z.h  # [N]
+
+        # evaluate over knots and batch: double vmap (knot axis 0, batch -1)
+        def over_knots(fn):
+            return jax.vmap(fn, in_axes=(None, 0, 0, 0), out_axes=0)
+
+        cont_f = over_knots(self._cont_f)
+        cont_jac = over_knots(self._cont_jac)
+
+        hk = h[:, None, None]  # for [N, n, B] ops
+        hm = h[:, None, None, None]  # for [N, n, n, B] ops
+        eye = jnp.eye(n, dtype=dt)[None, :, :, None]
+
+        if method == "euler":
+            Ac, Bc = cont_jac(params, X, U, t)
+            return eye + Ac * hm, Bc * hm
+        if method == "rk4":
+            k1 = cont_f(params, X, U, t)
+            k2 = cont_f(params, X + 0.5 * hk * k1, U, t + 0.5 * h)
+            k3 = cont_f(params, X + 0.5 * hk * k2, U, t + 0.5 * h)
+            A1, B1 = cont_jac(params, X, U, t)
+            A2, B2 = cont_jac(params, X + 0.5 * hk * k1, U, t)
+            A3, B3 = cont_jac(params, X + 0.5 * hk * k2, U, t)
+            A4, B4 = cont_jac(params, X + hk * k3, U, t)
+            dA1 = A1 * hm
+            dA2 = mm(A2, eye + 0.5 * dA1) * hm
+            dA3 = mm(A3, eye + 0.5 * dA2) * hm
+            dA4 = mm(A4, eye + dA3) * hm
+            A = eye + (dA1 + 2 * dA2 + 2 * dA3 + dA4) / 6.0
+            dB1 = B1 * hm
+            dB2 = B2 * hm + 0.5 * mm(A2, dB1) * hm
+            dB3 = B3 * hm + 0.5 * mm(A3, dB2) * hm
+            dB4 = B4 * hm + mm(A4, dB3) * hm
+            Bd = (dB1 + 2 * dB2 + 2 * dB3 + dB4) / 6.0
+            return A, Bd
+        # generic: AD of the discrete step, double-vmapped
+        jac = jax.jacfwd(self._dyn.fn, argnums=(1, 2))
+        jb = jax.vmap(jac, in_axes=(None, -1, -1, None, None), out_axes=-1)
+        jkb = jax.vmap(jb, in_axes=(None, 0, 0, 0, 0), out_axes=0)
+        return jkb(params, X, U, t, h)
+
+    # ------------------------------------------------------- cost kernels
+    def _upad(self, Z: BatchedTrajectory):
+        zrow = jnp.zeros((1,) + Z.U.shape[1:], Z.U.dtype)
+        return jnp.concatenate([Z.U, zrow], axis=0)
+
+    def _family_xu(self, fam, Z: BatchedTrajectory):
+        return Z.X[fam.knots], self._upad(Z)[fam.knots]
+
+    def _quad_terms(self, fp, Xk, Uk, want_expansion):
+        """Closed-form quadratic cost family, batch-last.
+
+        J = ½xᵀQx + xᵀHu + ½uᵀRu + qᵀx + rᵀu + c (`quadratic_cost.cpp:8-28`).
+        Param shapes: shared [n,n] or per-knot [nk,n,n].
+        """
+        Q, R, H, q, r, c = fp["Q"], fp["R"], fp["H"], fp["q"], fp["r"], fp["c"]
+        per_knot = Q.ndim == 3
+        sub = "kij" if per_knot else "ij"
+        Qx = jnp.einsum(f"{sub},kjb->kib", Q, Xk)
+        Ru = jnp.einsum(f"{sub},kjb->kib", R, Uk)
+        Hu = jnp.einsum(f"{sub},kjb->kib", H, Uk)
+        Htx = jnp.einsum(f"{sub},kib->kjb", H, Xk)
+        J = (
+            0.5 * dotv(Xk, Qx)
+            + dotv(Xk, Hu)
+            + 0.5 * dotv(Uk, Ru)
+            + jnp.einsum(f"{'ki' if per_knot else 'i'},kib->kb", q, Xk)
+            + jnp.einsum(f"{'ki' if per_knot else 'i'},kib->kb", r, Uk)
+            + (c[:, None] if per_knot else c)
+        )
+        if not want_expansion:
+            return J, None
+        nk, _, Bsz = Xk.shape
+        def bc(Mat):
+            tgt = (nk,) + Mat.shape[-2:] + (Bsz,)
+            return jnp.broadcast_to(Mat[..., :, :, None], tgt)
+        lx = Qx + Hu + (q[:, :, None] if per_knot else q[None, :, None])
+        lu = Ru + Htx + (r[:, :, None] if per_knot else r[None, :, None])
+        return J, (lx, lu, bc(Q), bc(H), bc(R))
+
+    def _generic_cost_terms(self, fam, fp, Xk, Uk, want_expansion):
+        """Fallback for arbitrary cost fns: AD expansion, double-vmapped."""
+        from ..problem.costs import ad_expansion
+
+        def one(p, x, u):
+            if want_expansion:
+                t = (
+                    fam.expand_fn(p, x, u)
+                    if fam.expand_fn is not None
+                    else ad_expansion(fam.fn, p, x, u)
+                )
+                return t.J, t.lx, t.lu, t.lxx, t.lxu, t.luu
+            return (fam.fn(p, x, u),)
+
+        inner = jax.vmap(one, in_axes=(None, -1, -1), out_axes=-1)
+        if fam.shared:
+            outer = jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)
+            out = outer(fp, Xk, Uk)
+        else:
+            outer = jax.vmap(inner, in_axes=(0, 0, 0), out_axes=0)
+            out = outer(fp, Xk, Uk)
+        if want_expansion:
+            J, lx, lu, lxx, lxu, luu = out
+            return J, (lx, lu, lxx, lxu, luu)
+        return out[0], None
+
+    def _con_values(self, fam, fp, Xk, Uk):
+        """Constraint values [nk, p, B] via double vmap."""
+        inner = jax.vmap(fam.fn, in_axes=(None, -1, -1), out_axes=-1)
+        if fam.shared:
+            return jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)(fp, Xk, Uk)
+        return jax.vmap(inner, in_axes=(0, 0, 0), out_axes=0)(fp, Xk, Uk)
+
+    def _con_jacs(self, fam, fp, Xk, Uk):
+        """Constraint Jacobians ([nk,p,n,B], [nk,p,m,B])."""
+        jfn = fam.jac_fn
+        if jfn is None:
+            jfn = lambda p, x, u: jax.jacfwd(fam.fn, argnums=(1, 2))(p, x, u)
+        inner = jax.vmap(jfn, in_axes=(None, -1, -1), out_axes=-1)
+        if fam.shared:
+            return jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)(fp, Xk, Uk)
+        return jax.vmap(inner, in_axes=(0, 0, 0), out_axes=0)(fp, Xk, Uk)
+
+    def _al_terms(self, fam, c, Cx, Cu, lam, rho, want_expansion):
+        """AL value/grad/Hessian, batch-last (`constraint_values.hpp:111-177`).
+
+        lam [nk, p, B], rho [nk, B].
+        """
+        dual = dual_cone(fam.cone)
+        s = lam - rho[:, None, :] * c
+        if dual is Cone.ZERO:
+            lam_proj = jnp.zeros_like(s)
+            dproj = jnp.zeros_like(s)
+        elif dual is Cone.IDENTITY:
+            lam_proj = s
+            dproj = jnp.ones_like(s)
+        else:
+            lam_proj = jnp.minimum(s, 0.0)
+            dproj = jnp.where(s > 0, 0.0, 1.0).astype(s.dtype)
+        J = (jnp.sum(lam_proj * lam_proj, axis=1) - jnp.sum(lam * lam, axis=1)) / (
+            2.0 * rho
+        )
+        if not want_expansion:
+            return J, None
+        Jpx = dproj[:, :, None, :] * Cx
+        Jpu = dproj[:, :, None, :] * Cu
+        gx = -jnp.einsum("kpb,kpnb->knb", lam_proj, Jpx)
+        gu = -jnp.einsum("kpb,kpmb->kmb", lam_proj, Jpu)
+        rb = rho[:, None, None, :]
+        Hxx = rb * jnp.einsum("kpib,kpjb->kijb", Jpx, Jpx)
+        Hxu = rb * jnp.einsum("kpib,kpjb->kijb", Jpx, Jpu)
+        Huu = rb * jnp.einsum("kpib,kpjb->kijb", Jpu, Jpu)
+        return J, (gx, gu, Hxx, Hxu, Huu)
+
+    # --------------------------------------------------------- assembled ops
+    def cost_terms(self, params: ProblemParams, al, Z: BatchedTrajectory):
+        """Per-knot AL cost [N+1, B]."""
+        N = self.prob.N
+        Bsz = Z.X.shape[-1]
+        costs = jnp.zeros((N + 1, Bsz), Z.X.dtype)
+        for fam, fp in zip(self.prob.cost_families, params.costs):
+            Xk, Uk = self._family_xu(fam, Z)
+            if fam.fn is _quadcost_eval:
+                J, _ = self._quad_terms(fp, Xk, Uk, False)
+            else:
+                J, _ = self._generic_cost_terms(fam, fp, Xk, Uk, False)
+            costs = costs.at[fam.knots].add(J)
+        for fam, fp, st in zip(self.prob.constraint_families, params.constraints, al):
+            Xk, Uk = self._family_xu(fam, Z)
+            c = self._con_values(fam, fp, Xk, Uk)
+            J, _ = self._al_terms(fam, c, None, None, st["lam"], st["rho"], False)
+            costs = costs.at[fam.knots].add(J)
+        return costs
+
+    def total_cost(self, params, al, Z):
+        return self.cost_terms(params, al, Z).sum(axis=0)  # [B]
+
+    def expand(self, params: ProblemParams, al, Z: BatchedTrajectory):
+        """All expansions, batch-last."""
+        prob = self.prob
+        N, n, m = prob.N, prob.n, prob.m
+        Bsz = Z.X.shape[-1]
+        dt = Z.X.dtype
+        costs = jnp.zeros((N + 1, Bsz), dt)
+        lx = jnp.zeros((N + 1, n, Bsz), dt)
+        lu = jnp.zeros((N + 1, m, Bsz), dt)
+        lxx = jnp.zeros((N + 1, n, n, Bsz), dt)
+        lxu = jnp.zeros((N + 1, n, m, Bsz), dt)
+        luu = jnp.zeros((N + 1, m, m, Bsz), dt)
+        for fam, fp in zip(prob.cost_families, params.costs):
+            Xk, Uk = self._family_xu(fam, Z)
+            if fam.fn is _quadcost_eval:
+                J, exp = self._quad_terms(fp, Xk, Uk, True)
+            else:
+                J, exp = self._generic_cost_terms(fam, fp, Xk, Uk, True)
+            glx, glu, glxx, glxu, gluu = exp
+            ks = fam.knots
+            costs = costs.at[ks].add(J)
+            lx = lx.at[ks].add(glx)
+            lu = lu.at[ks].add(glu)
+            lxx = lxx.at[ks].add(glxx)
+            lxu = lxu.at[ks].add(glxu)
+            luu = luu.at[ks].add(gluu)
+        for fam, fp, st in zip(prob.constraint_families, params.constraints, al):
+            Xk, Uk = self._family_xu(fam, Z)
+            c = self._con_values(fam, fp, Xk, Uk)
+            Cx, Cu = self._con_jacs(fam, fp, Xk, Uk)
+            J, exp = self._al_terms(fam, c, Cx, Cu, st["lam"], st["rho"], True)
+            gx, gu, Hxx, Hxu, Huu = exp
+            ks = fam.knots
+            costs = costs.at[ks].add(J)
+            lx = lx.at[ks].add(gx)
+            lu = lu.at[ks].add(gu)
+            lxx = lxx.at[ks].add(Hxx)
+            lxu = lxu.at[ks].add(Hxu)
+            luu = luu.at[ks].add(Huu)
+        A, Bd = self.dyn_jacobian_all(params.dynamics[0], Z)
+        return dict(costs=costs, lx=lx, lu=lu, lxx=lxx, lxu=lxu, luu=luu, A=A, B=Bd)
+
+    # ------------------------------------------------------------- backward
+    def riccati_scan(self, exp, rho):
+        """Sequential Riccati sweep, batch-last; rho [B].
+
+        Same recursion as `riccati._riccati_scan` with per-instance failure
+        masks.
+        """
+        N = exp["A"].shape[0]
+        m = exp["B"].shape[2]
+        dt = exp["A"].dtype
+        Bsz = exp["A"].shape[-1]
+        PN = exp["lxx"][N]
+        pN = exp["lx"][N]
+        eye_m = jnp.eye(m, dtype=dt)[:, :, None]
+
+        def step(carry, inp):
+            P, p, dV1, dV2, failed = carry
+            A, Bd, lxx, lxu, luu, lx, lu = inp
+            AtP = mm(mT(A), P)
+            Qxx = lxx + mm(AtP, A)
+            Qxu = lxu + mm(AtP, Bd)
+            Quu = luu + mm(mT(Bd), mm(P, Bd))
+            Qx = lx + mv(mT(A), p)
+            Qu = lu + mv(mT(Bd), p)
+            Quu_reg = Quu + eye_m * rho
+            L = chol_unrolled(Quu_reg)
+            fail_k = chol_failed(L)
+            safe = [
+                [
+                    None if e is None else jnp.where(jnp.isfinite(e), e, 1.0)
+                    for e in row
+                ]
+                for row in L
+            ]
+            K = -chol_solve_mat(safe, mT(Qxu))
+            d = -chol_solve_vec(safe, Qu)
+            KtQuu = mm(mT(K), Quu)
+            p_new = Qx + mv(KtQuu, d) + mv(mT(K), Qu) + mv(Qxu, d)
+            P_new = Qxx + mm(KtQuu, K) + mm(mT(K), mT(Qxu)) + mm(Qxu, K)
+            dV1_new = dV1 + dotv(d, Qu)
+            dV2_new = dV2 + 0.5 * dotv(d, mv(Quu, d))
+            new_failed = failed | fail_k
+            P = bwhere(new_failed, P, P_new)
+            p = bwhere(new_failed, p, p_new)
+            dV1 = bwhere(new_failed, dV1, dV1_new)
+            dV2 = bwhere(new_failed, dV2, dV2_new)
+            return (P, p, dV1, dV2, new_failed), (K, d)
+
+        zero = jnp.zeros((Bsz,), dt)
+        init = (PN, pN, zero, zero, jnp.zeros((Bsz,), bool))
+        xs = (
+            exp["A"], exp["B"], exp["lxx"][:N], exp["lxu"][:N],
+            exp["luu"][:N], exp["lx"][:N], exp["lu"][:N],
+        )
+        (P0, p0, dV1, dV2, failed), (K, d) = jax.lax.scan(
+            step, init, xs, reverse=True
+        )
+        return K, d, dV1, dV2, failed
+
+    def backward_pass(self, exp, rho, drho):
+        """Retry loop with per-instance regularization (`ilqr.hpp:385-445`)."""
+        opts = self.opts
+        N = exp["A"].shape[0]
+        n, m = self.prob.n, self.prob.m
+        Bsz = exp["A"].shape[-1]
+        dt = exp["A"].dtype
+
+        def cond(c):
+            return ~jnp.all(c["done"])
+
+        def body(c):
+            K, d, dV1, dV2, failed = self.riccati_scan(exp, c["rho"])
+            rho2, drho2 = _increase_reg(c["rho"], c["drho"], opts)
+            rho_n = bwhere(failed, rho2, c["rho"])
+            drho_n = bwhere(failed, drho2, c["drho"])
+            count = c["count"] + jnp.where(
+                failed & (rho_n >= opts.bp_reg_max), 1, 0
+            )
+            give_up = failed & (count >= opts.bp_reg_fail_threshold)
+            done = (~failed) | give_up
+            return dict(
+                K=K, d=d, dV1=dV1, dV2=dV2, failed=failed,
+                rho=rho_n, drho=drho_n, count=count, done=done,
+            )
+
+        init = dict(
+            K=jnp.zeros((N, m, n, Bsz), dt),
+            d=jnp.zeros((N, m, Bsz), dt),
+            dV1=jnp.zeros((Bsz,), dt),
+            dV2=jnp.zeros((Bsz,), dt),
+            failed=jnp.ones((Bsz,), bool),
+            rho=rho, drho=drho,
+            count=jnp.zeros((Bsz,), jnp.int32),
+            done=jnp.zeros((Bsz,), bool),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out
+
+    # ------------------------------------------------------------- forward
+    def rollout(self, params: ProblemParams, Z: BatchedTrajectory):
+        x0 = params.x0
+        if x0.ndim == 1:
+            x0 = jnp.broadcast_to(x0[:, None], (self.prob.n, Z.X.shape[-1]))
+        x0 = x0.astype(Z.X.dtype)
+
+        def step(x, inp):
+            u, t, h = inp
+            xn = self.dyn_step(params.dynamics[0], x, u, t, h)
+            return xn, xn
+
+        _, Xn = jax.lax.scan(step, x0, (Z.U, Z.t[:-1], Z.h))
+        return dataclasses.replace(Z, X=jnp.concatenate([x0[None], Xn], axis=0))
+
+    def closed_loop_rollout(self, params, Z: BatchedTrajectory, K, d, alpha):
+        """Feedback rollout with per-instance alpha [B] (`ilqr.hpp:468-499`)."""
+        opts = self.opts
+        Bsz = Z.X.shape[-1]
+        x0 = params.x0
+        if x0.ndim == 1:
+            x0 = jnp.broadcast_to(x0[:, None], (self.prob.n, Bsz))
+        x0 = x0.astype(Z.X.dtype)
+        unsolved = jnp.full((Bsz,), SolverStatus.UNSOLVED, jnp.int32)
+
+        def step(carry, inp):
+            xbar, valid, status = carry
+            x_k, u_k, K_k, d_k, t_k, h_k = inp
+            ubar = u_k + mv(K_k, xbar - x_k) + alpha * d_k
+            xnext = self.dyn_step(params.dynamics[0], xbar, ubar, t_k, h_k)
+            if opts.check_forwardpass_bounds:
+                state_ok = jnp.sqrt(jnp.sum(xnext * xnext, axis=0)) <= opts.state_max
+                ctrl_ok = jnp.sqrt(jnp.sum(ubar * ubar, axis=0)) <= opts.control_max
+            else:
+                state_ok = jnp.ones((Bsz,), bool)
+                ctrl_ok = state_ok
+            step_ok = state_ok & ctrl_ok
+            fail_now = valid & ~step_ok
+            status = jnp.where(
+                fail_now,
+                jnp.where(
+                    ~state_ok,
+                    jnp.int32(SolverStatus.STATE_LIMIT),
+                    jnp.int32(SolverStatus.CONTROL_LIMIT),
+                ),
+                status,
+            )
+            new_valid = valid & step_ok
+            xkeep = bwhere(new_valid, xnext, xbar)
+            return (xkeep, new_valid, status), (xkeep, ubar)
+
+        init = (x0, jnp.ones((Bsz,), bool), unsolved)
+        (xf, valid, status), (Xn, Ubar) = jax.lax.scan(
+            step, init, (Z.X[:-1], Z.U, K, d, Z.t[:-1], Z.h)
+        )
+        status = jnp.where(valid, unsolved, status)
+        Zb = dataclasses.replace(
+            Z, X=jnp.concatenate([x0[None], Xn], axis=0), U=Ubar
+        )
+        return Zb, valid, status
+
+    def forward_pass(self, params, al, Z, bp, J0):
+        """Per-instance backtracking line search (`ilqr.hpp:512-558`)."""
+        opts = self.opts
+        dt = Z.X.dtype
+        Bsz = Z.X.shape[-1]
+
+        def cond(c):
+            return jnp.any((~c["success"]) & (c["it"] < opts.line_search_max_iterations))
+
+        def body(c):
+            active = (~c["success"]) & (c["it"] < opts.line_search_max_iterations)
+            Zbar, valid, status = self.closed_loop_rollout(
+                params, Z, bp["K"], bp["d"], c["alpha"]
+            )
+            J_try = self.total_cost(params, al, Zbar)
+            J = jnp.where(valid, J_try, c["J"])
+            expected = -c["alpha"] * (bp["dV1"] + c["alpha"] * bp["dV2"])
+            z = jnp.where(expected > 0.0, (J0 - J_try) / expected, -jnp.ones((), dt))
+            ok = (
+                valid
+                & (opts.line_search_lower_bound <= z)
+                & (z <= opts.line_search_upper_bound)
+                & (J_try < J0)
+            )
+            # only active instances update
+            newc = dict(c)
+            newc["it"] = c["it"] + jnp.where(active, 1, 0)
+            newc["success"] = jnp.where(active, ok, c["success"])
+            newc["alpha"] = jnp.where(
+                active & ~ok, c["alpha"] / opts.line_search_decrease_factor, c["alpha"]
+            )
+            newc["J"] = jnp.where(active, J, c["J"])
+            newc["z"] = jnp.where(active, z, c["z"])
+            newc["status"] = jnp.where(active, status, c["status"])
+            newc["Zbar"] = zselect(active, Zbar, c["Zbar"])
+            return newc
+
+        init = dict(
+            it=jnp.zeros((Bsz,), jnp.int32),
+            alpha=jnp.ones((Bsz,), dt),
+            success=jnp.zeros((Bsz,), bool),
+            J=J0,
+            z=-jnp.ones((Bsz,), dt),
+            status=jnp.full((Bsz,), SolverStatus.UNSOLVED, jnp.int32),
+            Zbar=Z,
+        )
+        c = jax.lax.while_loop(cond, body, init)
+        Z_out = zselect(c["success"], c["Zbar"], Z)
+        rho_i, drho_i = _increase_reg(bp["rho"], bp["drho"], opts)
+        rho = jnp.where(c["success"], bp["rho"], rho_i)
+        drho = jnp.where(c["success"], bp["drho"], drho_i)
+        J_final = jnp.where(c["success"], c["J"], J0)
+        status = jnp.where(
+            J_final > J0, jnp.int32(SolverStatus.COST_INCREASE), c["status"]
+        )
+        return dict(
+            Z=Z_out, J=J_final, alpha=c["alpha"], z=c["z"],
+            success=c["success"], rho=rho, drho=drho, status=status,
+        )
+
+    # ------------------------------------------------------------- inner solve
+    def ilqr_solve(self, params, al, Z, stats: BatchedStats, outer_active):
+        """Masked batched inner solve; `outer_active` [B] gates instances."""
+        opts = self.opts
+        dt = Z.X.dtype
+        Bsz = Z.X.shape[-1]
+        N, n, m = self.prob.N, self.prob.n, self.prob.m
+
+        Z = zselect(outer_active, self.rollout(params, Z), Z)
+        J_init = self.total_cost(params, al, Z)
+        stats = stats.replace(
+            initial_cost=jnp.where(outer_active, J_init, stats.initial_cost),
+            iterations_inner=jnp.where(outer_active, 0, stats.iterations_inner),
+        )
+
+        def cond(c):
+            return jnp.any(~c["done"])
+
+        def body(c):
+            active = ~c["done"]
+            stats: BatchedStats = c["stats"]
+            exp = self.expand(params, al, c["Z"])
+            J0 = exp["costs"].sum(axis=0)
+            bp = self.backward_pass(exp, c["rho"], c["drho"])
+            rho_d, drho_d = _decrease_reg(bp["rho"], bp["drho"], opts)
+            fp = self.forward_pass(params, al, c["Z"], bp, J0)
+            bp_failed = bp["failed"]
+            status = jnp.where(
+                bp_failed,
+                jnp.int32(SolverStatus.BACKWARD_PASS_REGULARIZATION_FAILED),
+                fp["status"],
+            )
+            cost_new = jnp.where(fp["success"], fp["J"], c["cost_last"])
+            grad = jnp.mean(
+                jnp.max(jnp.abs(bp["d"]) / (jnp.abs(fp["Z"].U) + 1.0), axis=1),
+                axis=0,
+            )
+            dJ = c["cost_last"] - cost_new
+            inner = stats.iterations_inner + jnp.where(active, 1, 0)
+            total = stats.iterations_total + jnp.where(active, 1, 0)
+
+            converged = (dJ < opts.cost_tolerance) & (grad < opts.gradient_tolerance)
+            hit_inner = inner >= opts.max_iterations_inner
+            hit_total = total >= opts.max_iterations_total
+            bad = status != jnp.int32(SolverStatus.UNSOLVED)
+            status = jnp.where(
+                converged,
+                jnp.int32(SolverStatus.SOLVED),
+                jnp.where(
+                    hit_inner,
+                    jnp.int32(SolverStatus.MAX_INNER_ITERATIONS),
+                    jnp.where(
+                        hit_total, jnp.int32(SolverStatus.MAX_ITERATIONS), status
+                    ),
+                ),
+            )
+            done_new = converged | hit_inner | hit_total | bad
+
+            stats = stats.replace(
+                iterations_inner=jnp.where(active, inner, stats.iterations_inner),
+                iterations_total=jnp.where(active, total, stats.iterations_total),
+                cost=jnp.where(active, cost_new, stats.cost),
+                cost_decrease=jnp.where(active, dJ, stats.cost_decrease),
+                gradient=jnp.where(active, grad, stats.gradient),
+                alpha=jnp.where(active & fp["success"], fp["alpha"], stats.alpha),
+                regularization=jnp.where(active, bp["rho"], stats.regularization),
+            )
+            out = dict(
+                Z=zselect(active, fp["Z"], c["Z"]),
+                rho=jnp.where(active, rho_d, c["rho"]),
+                drho=jnp.where(active, drho_d, c["drho"]),
+                stats=stats,
+                cost_last=jnp.where(active, cost_new, c["cost_last"]),
+                status=jnp.where(active, status, c["status"]),
+                done=c["done"] | (active & done_new),
+                K=btree_select(active, bp["K"], c["K"]),
+                d=btree_select(active, bp["d"], c["d"]),
+            )
+            return out
+
+        init = dict(
+            Z=Z,
+            rho=jnp.full((Bsz,), opts.bp_reg_initial, dt),
+            drho=jnp.zeros((Bsz,), dt),
+            stats=stats,
+            cost_last=J_init,
+            status=jnp.full((Bsz,), SolverStatus.UNSOLVED, jnp.int32),
+            done=~outer_active,
+            K=jnp.zeros((N, m, n, Bsz), dt),
+            d=jnp.zeros((N, m, Bsz), dt),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out
+
+    # ------------------------------------------------------------- AL outer
+    def al_state_init(self, Bsz: int, dtype) -> tuple:
+        out = []
+        for fam in self.prob.constraint_families:
+            nk = len(fam.knots)
+            out.append(
+                dict(
+                    lam=jnp.zeros((nk, fam.dim, Bsz), dtype),
+                    rho=jnp.full((nk, Bsz), self.opts.initial_penalty, dtype),
+                )
+            )
+        return tuple(out)
+
+    def constraint_values(self, params, Z):
+        return tuple(
+            self._con_values(fam, fp, *self._family_xu(fam, Z))
+            for fam, fp in zip(self.prob.constraint_families, params.constraints)
+        )
+
+    def max_violation(self, cvals, Bsz, dtype):
+        viol = jnp.zeros((Bsz,), dtype)
+        for fam, c in zip(self.prob.constraint_families, cvals):
+            if fam.cone is Cone.ZERO:
+                v = jnp.abs(c)
+            else:
+                v = jnp.maximum(c, 0.0)
+            viol = jnp.maximum(viol, v.max(axis=(0, 1)))
+        return viol
+
+    def solve(self, params: ProblemParams, Z: BatchedTrajectory, al=None):
+        """Full batched AL solve.  Returns dict with batch-last results."""
+        opts = self.opts
+        dt = Z.X.dtype
+        Bsz = Z.X.shape[-1]
+        N, n, m = self.prob.N, self.prob.n, self.prob.m
+
+        if al is None:
+            al = self.al_state_init(Bsz, dt)
+        else:
+            if opts.reset_duals:
+                al = tuple(
+                    dict(lam=jnp.zeros_like(s["lam"]), rho=s["rho"]) for s in al
+                )
+            if opts.initial_penalty > 0:
+                al = tuple(
+                    dict(lam=s["lam"], rho=jnp.full_like(s["rho"], opts.initial_penalty))
+                    for s in al
+                )
+        stats = batched_stats_init(Bsz, dt)
+
+        if not self.prob.constraint_families:
+            out = self.ilqr_solve(params, al, Z, stats, jnp.ones((Bsz,), bool))
+            return dict(
+                Z=out["Z"], al=al, status=out["status"], stats=out["stats"],
+                K=out["K"], d=out["d"],
+            )
+
+        def cond(c):
+            return jnp.any(~c["done"])
+
+        def body(c):
+            active = ~c["done"]
+            res = self.ilqr_solve(params, c["al"], c["Z"], c["stats"], active)
+            Z2 = res["Z"]
+            stats: BatchedStats = res["stats"]
+            cvals = self.constraint_values(params, Z2)
+            al_new = []
+            for fam, st, cv in zip(self.prob.constraint_families, c["al"], cvals):
+                dual = dual_cone(fam.cone)
+                s = st["lam"] - st["rho"][:, None, :] * cv
+                if dual is Cone.IDENTITY:
+                    lam = s
+                elif dual is Cone.ZERO:
+                    lam = jnp.zeros_like(s)
+                else:
+                    lam = jnp.minimum(s, 0.0)
+                lam = bwhere(active, lam, st["lam"])
+                al_new.append(dict(lam=lam, rho=st["rho"]))
+            viol = self.max_violation(cvals, Bsz, dt)
+            pen = jnp.zeros((Bsz,), dt)
+            for st in al_new:
+                pen = jnp.maximum(pen, st["rho"].max(axis=0))
+            outer = stats.iterations_outer + jnp.where(active, 1, 0)
+            stats = stats.replace(
+                iterations_outer=jnp.where(active, outer, stats.iterations_outer),
+                violations=jnp.where(active, viol, stats.violations),
+                max_penalty=jnp.where(active, pen, stats.max_penalty),
+            )
+
+            inner_ok = res["status"] == jnp.int32(SolverStatus.SOLVED)
+            sat = viol < opts.constraint_tolerance
+            pen_hi = pen > opts.maximum_penalty
+            outer_hi = outer >= opts.max_iterations_outer
+            total_hi = stats.iterations_total >= opts.max_iterations_total
+            status = jnp.where(
+                ~inner_ok,
+                res["status"],
+                jnp.where(
+                    sat,
+                    jnp.int32(SolverStatus.SOLVED),
+                    jnp.where(
+                        pen_hi,
+                        jnp.int32(SolverStatus.MAX_PENALTY),
+                        jnp.where(
+                            outer_hi,
+                            jnp.int32(SolverStatus.MAX_OUTER_ITERATIONS),
+                            jnp.where(
+                                total_hi,
+                                jnp.int32(SolverStatus.MAX_ITERATIONS),
+                                jnp.int32(SolverStatus.UNSOLVED),
+                            ),
+                        ),
+                    ),
+                ),
+            )
+            done_new = (~inner_ok) | sat | pen_hi | outer_hi | total_hi
+            # scale penalties only for continuing instances
+            cont = active & ~done_new
+            al_next = tuple(
+                dict(
+                    lam=st["lam"],
+                    rho=bwhere(cont, st["rho"] * opts.penalty_scaling, st["rho"]),
+                )
+                for st in al_new
+            )
+            return dict(
+                Z=zselect(active, Z2, c["Z"]),
+                al=btree_select(active, al_next, c["al"]),
+                stats=stats,
+                status=jnp.where(active, status, c["status"]),
+                done=c["done"] | (active & done_new),
+                K=btree_select(active, res["K"], c["K"]),
+                d=btree_select(active, res["d"], c["d"]),
+            )
+
+        init = dict(
+            Z=Z,
+            al=al,
+            stats=stats,
+            status=jnp.full((Bsz,), SolverStatus.UNSOLVED, jnp.int32),
+            done=jnp.zeros((Bsz,), bool),
+            K=jnp.zeros((N, m, n, Bsz), dt),
+            d=jnp.zeros((N, m, Bsz), dt),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return dict(
+            Z=out["Z"], al=out["al"], status=out["status"], stats=out["stats"],
+            K=out["K"], d=out["d"],
+        )
+
+
+def _increase_reg(rho, drho, opts: SolverOptions):
+    drho = jnp.maximum(drho * opts.bp_reg_increase_factor, opts.bp_reg_increase_factor)
+    rho = jnp.clip(rho * drho, opts.bp_reg_min, opts.bp_reg_max)
+    return rho, drho
+
+
+def _decrease_reg(rho, drho, opts: SolverOptions):
+    drho = jnp.minimum(
+        drho / opts.bp_reg_increase_factor, 1.0 / opts.bp_reg_increase_factor
+    )
+    rho = jnp.clip(rho * drho, opts.bp_reg_min, opts.bp_reg_max)
+    return rho, drho

@@ -25,46 +25,47 @@ def main() -> None:
 
     from altro_tpu import SolverOptions, SolverStatus
     from altro_tpu.models.problems import UnicycleProblem
-    from altro_tpu.parallel.batch import BatchedALSolver
+    from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
     dtype = jnp.float32
 
     defn = UnicycleProblem(dtype=dtype)
     prob = defn.make_problem(add_constraints=True).compile()
     opts = SolverOptions()
-    solver = BatchedALSolver(prob, opts)
+    solver = ALSolverBatched(prob, opts)
+    solve = jax.jit(solver.solve)
 
     Z0 = defn.initial_trajectory()
     # Batch of perturbed parking problems: initial states near the origin
     # (same problem family as BASELINE.json config "batched scenario sweep").
     rng = np.random.default_rng(0)
-    x0s = jnp.asarray(
-        rng.uniform(-0.1, 0.1, size=(batch, 3)), dtype
-    )
-    x0s = x0s.at[0].set(jnp.zeros(3, dtype))  # element 0 = canonical problem
+    x0s = jnp.asarray(rng.uniform(-0.1, 0.1, size=(3, batch)), dtype)
+    x0s = x0s.at[:, 0].set(jnp.zeros(3, dtype))  # element 0 = canonical problem
     params_b = prob.params.replace(x0=x0s)
-    Zb = jax.tree_util.tree_map(
-        lambda leaf: jnp.broadcast_to(leaf, (batch,) + leaf.shape), Z0
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(leaf, (batch,) + leaf.shape), Z0
+        )
     )
 
     # Warm-up / compile
-    res = solver.solve(params_b, Zb)
-    jax.block_until_ready(res.Z.U)
+    res = solve(params_b, Zb)
+    jax.block_until_ready(res["Z"].U)
 
     # Parity check on the canonical element: converged constrained optimum.
     # Reference golden (Altro.jl + altro-cpp, `auglag_test.cpp:346-349`):
     # J* = 0.03893465058924039 at constraint_tolerance 1e-6; at the default
-    # 1e-4 tolerance the reference stops at J = 0.038934... as well.
-    solved = int(jnp.sum(res.status == SolverStatus.SOLVED))
-    U0 = np.asarray(res.Z.U[0], np.float64)
+    # 1e-4 tolerance the reference stops at the same optimum.
+    solved = int(jnp.sum(res["status"] == SolverStatus.SOLVED))
+    U0 = np.asarray(res["Z"].U[..., 0], np.float64)
     vmax = np.abs(U0).max()
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = solver.solve(params_b, Zb)
-    jax.block_until_ready(res.Z.U)
+        res = solve(params_b, Zb)
+    jax.block_until_ready(res["Z"].U)
     dt_s = (time.perf_counter() - t0) / iters
 
     solves_per_s = batch / dt_s
