@@ -27,11 +27,16 @@ class Cone(enum.Enum):
     ZERO:  equality g(x,u) = 0      (`constraint.hpp:28-49`)
     NEGATIVE_ORTHANT: h(x,u) <= 0   (`constraint.hpp:98-122`)
     IDENTITY: whole space (dual of ZERO, `constraint.hpp:65-86`)
+    SECOND_ORDER: ‖c[:-1]‖₂ ≤ c[-1] (Lorentz cone; self-dual).  The
+        reference's interface is written for general cones
+        (`docs/Overview.dox:29-43`) but ships only the first three; the SOC
+        rounds out the conic-AL capability (thrust cones, friction cones).
     """
 
     ZERO = 0
     NEGATIVE_ORTHANT = 1
     IDENTITY = 2
+    SECOND_ORDER = 3
 
 
 EQUALITY = Cone.ZERO
@@ -43,7 +48,7 @@ def dual_cone(cone: Cone) -> Cone:
         return Cone.IDENTITY
     if cone is Cone.IDENTITY:
         return Cone.ZERO
-    return Cone.NEGATIVE_ORTHANT  # self-dual
+    return cone  # NEGATIVE_ORTHANT and SECOND_ORDER are self-dual
 
 
 def cone_project(cone: Cone, x):
@@ -52,24 +57,83 @@ def cone_project(cone: Cone, x):
         return jnp.zeros_like(x)
     if cone is Cone.IDENTITY:
         return x
+    if cone is Cone.SECOND_ORDER:
+        return _soc_project(x)
     return jnp.minimum(x, 0.0)
+
+
+def _soc_project(x):
+    """Projection onto the Lorentz cone {(v, s): ‖v‖ ≤ s}, s = x[-1]."""
+    v = x[:-1]
+    s = x[-1]
+    a = jnp.linalg.norm(v)
+    inside = a <= s
+    polar = a <= -s
+    scale = 0.5 * (1.0 + s / jnp.maximum(a, 1e-300))
+    boundary = jnp.concatenate([scale * v, (0.5 * (a + s))[None]])
+    return jnp.where(inside, x, jnp.where(polar, jnp.zeros_like(x), boundary))
+
+
+def cone_is_diagonal(cone: Cone) -> bool:
+    """Whether the projection Jacobian is diagonal (all reference cones are)."""
+    return cone is not Cone.SECOND_ORDER
 
 
 def cone_jacobian_diag(cone: Cone, x):
     """Diagonal of the projection Jacobian (`constraint.hpp:39,82,108`).
 
     NegativeOrthant convention matches the reference: 1 where x <= 0.
+    Only valid for diagonal cones; use `cone_jacobian` for the SOC.
     """
     if cone is Cone.ZERO:
         return jnp.zeros_like(x)
     if cone is Cone.IDENTITY:
         return jnp.ones_like(x)
+    if cone is Cone.SECOND_ORDER:
+        raise ValueError("SOC projection Jacobian is not diagonal")
     return jnp.where(x > 0, 0.0, 1.0).astype(x.dtype)
 
 
+def cone_jacobian(cone: Cone, x):
+    """Full projection Jacobian [p, p]."""
+    if cone is not Cone.SECOND_ORDER:
+        return jnp.diag(cone_jacobian_diag(cone, x))
+    p = x.shape[-1]
+    v = x[:-1]
+    s = x[-1]
+    a = jnp.maximum(jnp.linalg.norm(v), 1e-300)
+    inside = jnp.linalg.norm(v) <= s
+    polar = jnp.linalg.norm(v) <= -s
+    c = 0.5 + s / (2.0 * a)
+    eye_v = jnp.eye(p - 1, dtype=x.dtype)
+    dPv_dv = c * eye_v - (s / (2.0 * a**3)) * jnp.outer(v, v)
+    dPv_ds = v / (2.0 * a)
+    dPs_dv = v / (2.0 * a)
+    top = jnp.concatenate([dPv_dv, dPv_ds[:, None]], axis=1)
+    bot = jnp.concatenate([dPs_dv, jnp.asarray(0.5, x.dtype)[None]])[None, :]
+    boundary = jnp.concatenate([top, bot], axis=0)
+    eye = jnp.eye(p, dtype=x.dtype)
+    return jnp.where(inside, eye, jnp.where(polar, jnp.zeros_like(eye), boundary))
+
+
+def cone_project_rows(cone: Cone, M):
+    """Project each row of [..., p] onto the cone.
+
+    Elementwise cones project the whole array at once; non-elementwise cones
+    (SOC) map over rows.
+    """
+    if cone is not Cone.SECOND_ORDER:
+        return cone_project(cone, M)
+    flat = M.reshape((-1, M.shape[-1]))
+    out = jax.vmap(_soc_project)(flat)
+    return out.reshape(M.shape)
+
+
 def cone_violation(cone: Cone, c):
-    """Elementwise violation |c − Π_K(c)| (`constraint_values.hpp:215-220`)."""
-    return jnp.abs(c - cone_project(cone, c))
+    """Elementwise violation |c − Π_K(c)| (`constraint_values.hpp:215-220`).
+
+    Accepts stacked rows [..., p]."""
+    return jnp.abs(c - cone_project_rows(cone, c))
 
 
 @pytree_dataclass

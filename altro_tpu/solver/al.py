@@ -162,7 +162,7 @@ class ALSolver:
             "d": jnp.zeros((N, m), dt),
         }
         out = jax.lax.while_loop(cond, body, init)
-        return ALResult(
+        result = ALResult(
             Z=out["Z"],
             al=out["al"],
             status=out["status"],
@@ -170,6 +170,27 @@ class ALSolver:
             K=out["K"],
             d=out["d"],
         )
+        self._maybe_log(result)
+        return result
+
+    def _maybe_log(self, result: ALResult) -> None:
+        """Console iteration table at the configured verbosity
+        (`al_solver.hpp:318-331`).  Only fires on eager (non-traced) solves."""
+        from ..options import LogLevel
+
+        if self.opts.verbose == LogLevel.SILENT:
+            return
+        if isinstance(result.stats.length, jax.core.Tracer):
+            return
+        from ..utils.logging import SolverLogger
+
+        logger = SolverLogger(self.opts.verbose)
+        logger.set_tolerances(
+            self.opts.cost_tolerance,
+            self.opts.constraint_tolerance,
+            self.opts.gradient_tolerance,
+        )
+        logger.print_solve_summary(result.stats, result.status)
 
     # Convenience pieces mirroring the reference's public methods -----------
     def max_violation(self, params, Z):

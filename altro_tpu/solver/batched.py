@@ -41,13 +41,20 @@ from ..types import SolverStatus
 
 
 def mm(a, b):
-    """[..., i, j, B] @ [..., j, k, B] -> [..., i, k, B]."""
-    return jnp.einsum("...ijb,...jkb->...ikb", a, b)
+    """[..., i, j, B] @ [..., j, k, B] -> [..., i, k, B].
+
+    Written as broadcast-multiply-reduce, NOT einsum: einsum lowers to a
+    dot_general whose output is batch-LEADING plus a transpose back, which
+    both moves the batch out of the lane dimension and floods the program
+    with transposes.  The contraction axes here are tiny (n, m <= ~12), so
+    elementwise multiply + reduce is the fast TPU form.
+    """
+    return (a[..., :, :, None, :] * b[..., None, :, :, :]).sum(axis=-3)
 
 
 def mv(a, v):
     """[..., i, j, B] @ [..., j, B] -> [..., i, B]."""
-    return jnp.einsum("...ijb,...jb->...ib", a, v)
+    return (a * v[..., None, :, :]).sum(axis=-2)
 
 
 def mT(a):
@@ -220,6 +227,11 @@ class ALSolverBatched:
             raise NotImplementedError(
                 "batched solver requires shared dynamics params"
             )
+        for cf in prob.constraint_families:
+            if cf.cone is Cone.SECOND_ORDER:
+                raise NotImplementedError(
+                    "second-order cones: use the general ALSolver path"
+                )
         self._dyn = fam
         if self.opts.matmul_precision:
             self.solve = with_matmul_precision(self.opts.matmul_precision)(
@@ -329,17 +341,28 @@ class ALSolverBatched:
         """
         Q, R, H, q, r, c = fp["Q"], fp["R"], fp["H"], fp["q"], fp["r"], fp["c"]
         per_knot = Q.ndim == 3
-        sub = "kij" if per_knot else "ij"
-        Qx = jnp.einsum(f"{sub},kjb->kib", Q, Xk)
-        Ru = jnp.einsum(f"{sub},kjb->kib", R, Uk)
-        Hu = jnp.einsum(f"{sub},kjb->kib", H, Uk)
-        Htx = jnp.einsum(f"{sub},kib->kjb", H, Xk)
+
+        def matvec(Mat, V):
+            # Mat [n,m] or [nk,n,m]; V [nk,m,B] -> [nk,n,B]; broadcast-reduce
+            # over the tiny contraction axis (see mm() for why not einsum)
+            M4 = Mat[:, :, :, None] if Mat.ndim == 3 else Mat[None, :, :, None]
+            return (M4 * V[:, None, :, :]).sum(axis=2)
+
+        def vdot(vec, V):
+            v3 = vec[:, :, None] if vec.ndim == 2 else vec[None, :, None]
+            return (v3 * V).sum(axis=1)
+
+        Qx = matvec(Q, Xk)
+        Ru = matvec(R, Uk)
+        Hu = matvec(H, Uk)
+        Ht = jnp.swapaxes(H, -1, -2)
+        Htx = matvec(Ht, Xk)
         J = (
             0.5 * dotv(Xk, Qx)
             + dotv(Xk, Hu)
             + 0.5 * dotv(Uk, Ru)
-            + jnp.einsum(f"{'ki' if per_knot else 'i'},kib->kb", q, Xk)
-            + jnp.einsum(f"{'ki' if per_knot else 'i'},kib->kb", r, Uk)
+            + vdot(q, Xk)
+            + vdot(r, Uk)
             + (c[:, None] if per_knot else c)
         )
         if not want_expansion:
@@ -418,12 +441,18 @@ class ALSolverBatched:
             return J, None
         Jpx = dproj[:, :, None, :] * Cx
         Jpu = dproj[:, :, None, :] * Cu
-        gx = -jnp.einsum("kpb,kpnb->knb", lam_proj, Jpx)
-        gu = -jnp.einsum("kpb,kpmb->kmb", lam_proj, Jpu)
+        # contractions over the small p axis as broadcast-multiply-reduce
+        # (see mm() for why not einsum)
+        gx = -(lam_proj[:, :, None, :] * Jpx).sum(axis=1)
+        gu = -(lam_proj[:, :, None, :] * Jpu).sum(axis=1)
         rb = rho[:, None, None, :]
-        Hxx = rb * jnp.einsum("kpib,kpjb->kijb", Jpx, Jpx)
-        Hxu = rb * jnp.einsum("kpib,kpjb->kijb", Jpx, Jpu)
-        Huu = rb * jnp.einsum("kpib,kpjb->kijb", Jpu, Jpu)
+
+        def gram(Ja, Jb):
+            return (Ja[:, :, :, None, :] * Jb[:, :, None, :, :]).sum(axis=1)
+
+        Hxx = rb * gram(Jpx, Jpx)
+        Hxu = rb * gram(Jpx, Jpu)
+        Huu = rb * gram(Jpu, Jpu)
         return J, (gx, gu, Hxx, Hxu, Huu)
 
     # --------------------------------------------------------- assembled ops

@@ -23,6 +23,7 @@ from ..problem.constraints import (
     Cone,
     cone_jacobian_diag,
     cone_project,
+    cone_project_rows,
     cone_violation,
     dual_cone,
 )
@@ -71,7 +72,7 @@ def _al_value(cone: Cone, c: jax.Array, state: ConState) -> jax.Array:
     (`constraint_values.hpp:111-119`)."""
     dual = dual_cone(cone)
     s = state.lam - state.rho[:, None] * c
-    lam_proj = cone_project(dual, s)
+    lam_proj = cone_project_rows(dual, s)
     return (
         jnp.sum(lam_proj * lam_proj, axis=-1) - jnp.sum(state.lam * state.lam, axis=-1)
     ) / (2.0 * state.rho)
@@ -204,15 +205,22 @@ class ProblemFunctions:
                 return fam.jac_fn(p, x, u)
             return jax.jacfwd(fam.fn, argnums=(1, 2))(p, x, u)
 
+        from ..problem.constraints import cone_is_diagonal, cone_jacobian
+
         def one(p, x, u, lam, rho):
             c = fam.fn(p, x, u)
             Cx, Cu = jac_fn(p, x, u)
             s = lam - rho * c
             lam_proj = cone_project(dual, s)
-            dproj = cone_jacobian_diag(dual, s)
             J = (lam_proj @ lam_proj - lam @ lam) / (2.0 * rho)
-            Jpx = dproj[:, None] * Cx
-            Jpu = dproj[:, None] * Cu
+            if cone_is_diagonal(dual):
+                dproj = cone_jacobian_diag(dual, s)
+                Jpx = dproj[:, None] * Cx
+                Jpu = dproj[:, None] * Cu
+            else:
+                Jp = cone_jacobian(dual, s)
+                Jpx = Jp @ Cx
+                Jpu = Jp @ Cu
             gx = -(Jpx.T @ lam_proj)
             gu = -(Jpu.T @ lam_proj)
             Hxx = rho * (Jpx.T @ Jpx)
@@ -282,7 +290,7 @@ class ProblemFunctions:
         out = []
         for fam, s, c in zip(self.prob.constraint_families, al, cvals):
             dual = dual_cone(fam.cone)
-            lam = cone_project(dual, s.lam - s.rho[:, None] * c)
+            lam = cone_project_rows(dual, s.lam - s.rho[:, None] * c)
             out.append(s.replace(lam=lam))
         return tuple(out)
 
