@@ -72,12 +72,27 @@ class SolverOptions:
     log_directory: str = ""
     profile_filename: str = "profiler.out"
 
+    # Numerical-floor stall exit.  In low precision (f32 on TPU) an inner
+    # solve can reach its floor: dJ rounds to ~0 every iteration while the
+    # gradient proxy hovers just above tolerance, burning max_iterations_inner
+    # (and in a batched solve, stalling the whole lockstep batch).  After this
+    # many consecutive iterations with dJ < cost_tolerance the solver exits as
+    # converged-at-floor.  Set high enough that it can never fire on a
+    # normally-converging solve (goldens converge the same iteration dJ and
+    # gradient cross tolerance); 0 disables.
+    max_stall_iterations: int = 10
+
     # Matmul precision for solver math.  TPU f32 matmuls default to bf16
     # passes, which destroys Riccati/Cholesky conditioning; "highest" forces
     # full f32 accumulation.  The solver's matrices are tiny (n,m ≤ ~12 per
     # knot), so this costs nothing — the batched kernels are VPU/HBM-bound,
     # not MXU-bound.
     matmul_precision: str = "highest"
+
+    # Unroll factor for the time-axis scans in the batch-native solver
+    # (Riccati sweep, rollouts).  Unrolling lets XLA fuse across consecutive
+    # knot points, amortizing per-step HBM round trips of the tiny carries.
+    scan_unroll: int = 4
 
     # Backward-pass kernel selection: "scan" (sequential Riccati recursion,
     # the parity oracle) or "pscan" (associative-scan parallel Riccati,

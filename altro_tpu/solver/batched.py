@@ -575,7 +575,7 @@ class ALSolverBatched:
             exp["luu"][:N], exp["lx"][:N], exp["lu"][:N],
         )
         (P0, p0, dV1, dV2, failed), (K, d) = jax.lax.scan(
-            step, init, xs, reverse=True
+            step, init, xs, reverse=True, unroll=self.opts.scan_unroll
         )
         return K, d, dV1, dV2, failed
 
@@ -630,7 +630,9 @@ class ALSolverBatched:
             xn = self.dyn_step(params.dynamics[0], x, u, t, h)
             return xn, xn
 
-        _, Xn = jax.lax.scan(step, x0, (Z.U, Z.t[:-1], Z.h))
+        _, Xn = jax.lax.scan(
+            step, x0, (Z.U, Z.t[:-1], Z.h), unroll=self.opts.scan_unroll
+        )
         return dataclasses.replace(Z, X=jnp.concatenate([x0[None], Xn], axis=0))
 
     def closed_loop_rollout(self, params, Z: BatchedTrajectory, K, d, alpha):
@@ -671,7 +673,8 @@ class ALSolverBatched:
 
         init = (x0, jnp.ones((Bsz,), bool), unsolved)
         (xf, valid, status), (Xn, Ubar) = jax.lax.scan(
-            step, init, (Z.X[:-1], Z.U, K, d, Z.t[:-1], Z.h)
+            step, init, (Z.X[:-1], Z.U, K, d, Z.t[:-1], Z.h),
+            unroll=self.opts.scan_unroll,
         )
         status = jnp.where(valid, unsolved, status)
         Zb = dataclasses.replace(
@@ -780,7 +783,13 @@ class ALSolverBatched:
             inner = stats.iterations_inner + jnp.where(active, 1, 0)
             total = stats.iterations_total + jnp.where(active, 1, 0)
 
-            converged = (dJ < opts.cost_tolerance) & (grad < opts.gradient_tolerance)
+            small_dj = dJ < opts.cost_tolerance
+            converged = small_dj & (grad < opts.gradient_tolerance)
+            # numerical-floor stall exit (SolverOptions.max_stall_iterations)
+            stall = jnp.where(active & small_dj, c["stall"] + 1,
+                              jnp.where(active, 0, c["stall"]))
+            if opts.max_stall_iterations > 0:
+                converged = converged | (stall >= opts.max_stall_iterations)
             hit_inner = inner >= opts.max_iterations_inner
             hit_total = total >= opts.max_iterations_total
             bad = status != jnp.int32(SolverStatus.UNSOLVED)
@@ -814,6 +823,7 @@ class ALSolverBatched:
                 cost_last=jnp.where(active, cost_new, c["cost_last"]),
                 status=jnp.where(active, status, c["status"]),
                 done=c["done"] | (active & done_new),
+                stall=stall,
                 K=btree_select(active, bp["K"], c["K"]),
                 d=btree_select(active, bp["d"], c["d"]),
             )
@@ -827,6 +837,7 @@ class ALSolverBatched:
             cost_last=J_init,
             status=jnp.full((Bsz,), SolverStatus.UNSOLVED, jnp.int32),
             done=~outer_active,
+            stall=jnp.zeros((Bsz,), jnp.int32),
             K=jnp.zeros((N, m, n, Bsz), dt),
             d=jnp.zeros((N, m, Bsz), dt),
         )

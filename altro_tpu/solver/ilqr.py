@@ -273,7 +273,12 @@ class ILQRSolver:
 
             # IsDone (`ilqr.hpp:597-619`) — order matters: convergence wins
             # over failure statuses.
-            converged = (dJ < opts.cost_tolerance) & (grad < opts.gradient_tolerance)
+            small_dj = dJ < opts.cost_tolerance
+            converged = small_dj & (grad < opts.gradient_tolerance)
+            # numerical-floor stall exit (see SolverOptions.max_stall_iterations)
+            stall = jnp.where(small_dj, c["stall"] + 1, 0)
+            if opts.max_stall_iterations > 0:
+                converged = converged | (stall >= opts.max_stall_iterations)
             hit_inner = inner >= opts.max_iterations_inner
             hit_total = total >= opts.max_iterations_total
             bad = status != jnp.int32(SolverStatus.UNSOLVED)
@@ -297,6 +302,7 @@ class ILQRSolver:
                 "cost_last": cost_new,
                 "status": status,
                 "done": done,
+                "stall": stall,
                 "K": bp.K,
                 "d": bp.d,
                 "costs": exp.costs,
@@ -310,6 +316,7 @@ class ILQRSolver:
             "cost_last": J_init,
             "status": jnp.int32(SolverStatus.UNSOLVED),
             "done": jnp.zeros((), bool),
+            "stall": jnp.zeros((), jnp.int32),
             "K": jnp.zeros((N, m, n), dt),
             "d": jnp.zeros((N, m), dt),
             "costs": jnp.zeros((N + 1,), dt),
