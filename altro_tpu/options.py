@@ -92,7 +92,7 @@ class SolverOptions:
     # Unroll factor for the time-axis scans in the batch-native solver
     # (Riccati sweep, rollouts).  Unrolling lets XLA fuse across consecutive
     # knot points, amortizing per-step HBM round trips of the tiny carries.
-    scan_unroll: int = 4
+    scan_unroll: int = 1
 
     # Backward-pass kernel selection: "scan" (sequential Riccati recursion,
     # the parity oracle) or "pscan" (associative-scan parallel Riccati,

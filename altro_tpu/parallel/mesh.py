@@ -33,6 +33,16 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "batch") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def init_distributed(**kwargs) -> Mesh:
+    """Multi-host setup: initialize `jax.distributed` (TPU pod slices
+    auto-discover coordinator/process counts) and return a global mesh over
+    every process's devices.  Collectives then ride ICI within a slice and
+    DCN across hosts; the solver code is unchanged.
+    """
+    jax.distributed.initialize(**kwargs)
+    return make_mesh(jax.devices())
+
+
 class ShardedALSolver:
     """AL-iLQR over a scenario batch sharded across a device mesh.
 

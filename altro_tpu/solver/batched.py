@@ -580,8 +580,22 @@ class ALSolverBatched:
         return K, d, dV1, dV2, failed
 
     def backward_pass(self, exp, rho, drho):
-        """Retry loop with per-instance regularization (`ilqr.hpp:385-445`)."""
+        """Retry loop with per-instance regularization (`ilqr.hpp:385-445`).
+
+        The sweep kernel is selected by `opts.backward_pass`: "scan" (XLA
+        lax.scan) or "pallas" (fused VMEM-resident kernel,
+        `ops/riccati_pallas.py`; requires batch % 1024 == 0).
+        """
         opts = self.opts
+        if opts.backward_pass == "pallas":
+            from ..ops.riccati_pallas import TILE, riccati_pallas
+
+            if exp["A"].shape[-1] % TILE == 0:
+                sweep = lambda e, r: riccati_pallas(e, r)
+            else:
+                sweep = self.riccati_scan
+        else:
+            sweep = self.riccati_scan
         N = exp["A"].shape[0]
         n, m = self.prob.n, self.prob.m
         Bsz = exp["A"].shape[-1]
@@ -591,7 +605,7 @@ class ALSolverBatched:
             return ~jnp.all(c["done"])
 
         def body(c):
-            K, d, dV1, dV2, failed = self.riccati_scan(exp, c["rho"])
+            K, d, dV1, dV2, failed = sweep(exp, c["rho"])
             rho2, drho2 = _increase_reg(c["rho"], c["drho"], opts)
             rho_n = bwhere(failed, rho2, c["rho"])
             drho_n = bwhere(failed, drho2, c["drho"])

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Batch/mesh scaling benchmark.
+
+Analog of `perf/benchmark_expansions.cpp` + `perf/profile_expansions.out`
+(the reference's thread-scaling study): measures batched AL-iLQR throughput
+vs batch size on one device, and data-parallel scaling efficiency over a
+device mesh (virtual CPU mesh via
+XLA_FLAGS=--xla_force_host_platform_device_count=8, or a real slice).
+"""
+import os
+import sys
+import time
+
+if "cpu" in sys.argv:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+
+import jax
+
+if "cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from altro_tpu import SolverOptions
+from altro_tpu.models.problems import UnicycleProblem
+from altro_tpu.parallel.mesh import ShardedALSolver, make_mesh
+from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
+
+
+def batch_scaling():
+    defn = UnicycleProblem(dtype=jnp.float32)
+    defn.N = 20
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    solver = ALSolverBatched(prob, SolverOptions())
+    solve = jax.jit(solver.solve)
+    Z0 = defn.initial_trajectory()
+    print("== batch scaling (single device, N=20) ==")
+    for B in (64, 256, 1024):
+        rng = np.random.default_rng(0)
+        params = prob.params.replace(
+            x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, B)), jnp.float32)
+        )
+        Zb = to_batch_last(
+            jax.tree_util.tree_map(lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0)
+        )
+        res = solve(params, Zb)
+        jax.block_until_ready(res["Z"].U)
+        t0 = time.perf_counter()
+        res = solve(params, Zb)
+        jax.block_until_ready(res["Z"].U)
+        dt = time.perf_counter() - t0
+        print(f"B={B:5d}: {dt * 1e3:8.1f} ms  -> {B / dt:8.0f} solves/s")
+
+
+def mesh_scaling():
+    devices = jax.devices()
+    if len(devices) < 2:
+        print("== mesh scaling skipped (single device) ==")
+        return
+    print(f"== mesh scaling over {len(devices)} devices (N=10) ==")
+    defn = UnicycleProblem(dtype=jnp.float32)
+    defn.N = 10
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    per_dev = 16
+    base = None
+    for nd in (1, 2, len(devices)):
+        mesh = make_mesh(devices[:nd])
+        solver = ShardedALSolver(prob, mesh, SolverOptions(max_iterations_inner=20))
+        B = per_dev * nd
+        rng = np.random.default_rng(0)
+        x0s = solver.shard_batch(
+            jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3)), jnp.float32)
+        )
+        params = prob.params.replace(x0=x0s)
+        Z0 = defn.initial_trajectory()
+        Zb = solver.shard_batch(
+            jax.tree_util.tree_map(lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0)
+        )
+        res, viol, nsolved = solver.solve(params, Zb)
+        jax.block_until_ready(res.Z.U)
+        t0 = time.perf_counter()
+        res, viol, nsolved = solver.solve(params, Zb)
+        jax.block_until_ready(res.Z.U)
+        dt = time.perf_counter() - t0
+        rate = B / dt
+        if base is None:
+            base = rate
+        eff = rate / (base * nd) * 100
+        print(
+            f"devices={nd}: B={B:4d} {dt * 1e3:8.1f} ms -> {rate:8.0f} solves/s "
+            f"({eff:5.1f}% scaling efficiency)"
+        )
+
+
+if __name__ == "__main__":
+    batch_scaling()
+    mesh_scaling()
