@@ -66,13 +66,14 @@ def _mT(a):
     return jnp.swapaxes(a, 0, 1)
 
 
-def _chol(M):
-    """Unrolled Cholesky of [m,m,8,128]; returns (cols, failed[8,128])."""
+def _chol(M, diag_add=None):
+    """Unrolled Cholesky of [m,m,8,128] (+ diag_add [8,128] on the
+    diagonal); returns (cols, failed[8,128])."""
     m = M.shape[0]
     cols = [[None] * m for _ in range(m)]
     failed = jnp.zeros(M.shape[-2:], jnp.bool_)
     for j in range(m):
-        s = M[j, j]
+        s = M[j, j] if diag_add is None else M[j, j] + diag_add
         for k in range(j):
             s = s - cols[j][k] * cols[j][k]
         failed = failed | (s <= 0.0)
@@ -141,9 +142,9 @@ def _kernel(
     Qx = lx + _mv(At, p)
     Qu = lu + _mv(_mT(Bd), p)
 
-    m = Quu.shape[0]
-    Quu_reg = Quu + jnp.eye(m, dtype=Quu.dtype)[:, :, None, None] * rho[None, None]
-    L, fail_k = _chol(Quu_reg)
+    # control-only regularization: Quu + rho I, applied on the diagonal
+    # inside the factorization (Mosaic dislikes tiny eye broadcasts)
+    L, fail_k = _chol(Quu, diag_add=rho)
     K = -_chol_solve_mat(L, _mT(Qxu))
     d = _chol_solve_mat(L, Qu[:, None])[:, 0]
     d = -d

@@ -197,6 +197,54 @@ class ALSolver:
         """`AugmentedLagrangianiLQR::MaxViolation` (`al_solver.hpp:405-408`)."""
         return self.fns.max_violation(self.fns.constraint_values(params, Z))
 
+    def num_constraints(self, k=None) -> int:
+        """Constraint rows at knot k or total (`al_solver.hpp:252-269`)."""
+        fams = self.prob.constraint_families
+        if k is None:
+            return sum(f.dim * len(f.knots) for f in fams)
+        return sum(f.dim for f in fams if k in f.knots)
+
+    def constraint_info(self, params, Z, sort: bool = False):
+        """Per-constraint violation report
+        (`AugmentedLagrangianiLQR::GetConstraintInfo`, `al_solver.hpp:86-104`).
+
+        Returns a list of dicts {label, knot, violation (np array), cone}
+        for every (constraint, knot) pair, optionally sorted by max
+        violation.
+        """
+        import numpy as np
+
+        from ..problem.constraints import cone_violation
+
+        cvals = self.fns.constraint_values(params, Z)
+        info = []
+        for fam, c in zip(self.prob.constraint_families, cvals):
+            v = np.asarray(cone_violation(fam.cone, c))
+            for i, k in enumerate(fam.knots):
+                info.append(
+                    {
+                        "label": fam.label,
+                        "knot": int(k),
+                        "violation": v[i],
+                        "cone": fam.cone.name,
+                    }
+                )
+        if sort:
+            info.sort(key=lambda e: -float(e["violation"].max(initial=0.0)))
+        else:
+            info.sort(key=lambda e: e["knot"])
+        return info
+
+    def print_violations(self, params, Z, sort: bool = False, precision: int = 4):
+        """`AugmentedLagrangianiLQR::PrintViolations` (`al_solver.hpp:68-74`)."""
+        import numpy as np
+
+        info = self.constraint_info(params, Z, sort=sort)
+        print(f"Got {len(info)} constraints")
+        for e in info:
+            with np.printoptions(precision=precision):
+                print(f"{e['label']} [{e['cone']}] @ knot {e['knot']}: {e['violation']}")
+
     def update_duals(self, params, Z, al):
         return self.fns.update_duals(al, self.fns.constraint_values(params, Z))
 

@@ -86,3 +86,23 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(res2.status) == 0
     np.testing.assert_allclose(res2.Z.U, res.Z.U, atol=1e-4)
     assert int(res2.stats.iterations_total) <= int(res.stats.iterations_total)
+
+
+def test_constraint_info_and_print(capsys):
+    """Constraint introspection (`al_solver.hpp:68-104` analog)."""
+    defn = UnicycleProblem()
+    prob = defn.make_problem(add_constraints=True).compile()
+    solver = ALSolver(prob, SolverOptions())
+    Z = solver.ilqr.rollout(prob.params, defn.initial_trajectory())
+    assert solver.num_constraints() == defn.N * 4 + 3  # bounds 4/knot + goal
+    assert solver.num_constraints(0) == 4
+    assert solver.num_constraints(defn.N) == 3
+    info = solver.constraint_info(prob.params, Z, sort=True)
+    assert len(info) == defn.N + 1
+    # sorted: worst first — the unmet goal dominates on the initial rollout
+    assert info[0]["label"] == "Goal Constraint"
+    assert info[0]["violation"].max() > info[-1]["violation"].max()
+    solver.print_violations(prob.params, Z)
+    out = capsys.readouterr().out
+    assert f"Got {defn.N + 1} constraints" in out
+    assert "Control Bound" in out and "Goal Constraint" in out
