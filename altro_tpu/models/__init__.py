@@ -1,1 +1,2 @@
 from . import problems, triple_integrator, unicycle
+from . import cartpole, quadrotor
