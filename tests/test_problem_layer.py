@@ -143,3 +143,35 @@ def test_goal_and_circle_constraints():
     np.testing.assert_allclose(c, [0.25])  # inside: -(-r^2) > 0 violated
     c2 = circ(jnp.array([3.0, 1.0, 0.0]), jnp.zeros(2))
     np.testing.assert_allclose(c2, [-(4.0 - 0.25)])
+
+
+def test_derivative_checker_known_functions():
+    """The FD checker itself, against closed-form derivatives
+    (`test/utils/derivative_checker_test.cpp` analog)."""
+    from altro_tpu.utils.derivative_check import (
+        finite_diff,
+        finite_diff_gradient,
+        finite_diff_hessian,
+    )
+
+    f = lambda x: np.array([np.sin(x[0]) * x[1], x[0] ** 2 + x[1] ** 3])
+    x = np.array([0.7, -0.4])
+    J = finite_diff(f, x)
+    J_exact = np.array(
+        [[np.cos(0.7) * -0.4, np.sin(0.7)], [2 * 0.7, 3 * (-0.4) ** 2]]
+    )
+    np.testing.assert_allclose(J, J_exact, atol=1e-7)
+
+    g = lambda x: float(np.sin(x[0]) * x[1] ** 2)
+    grad = finite_diff_gradient(g, x)
+    np.testing.assert_allclose(
+        grad, [np.cos(0.7) * 0.16, np.sin(0.7) * -0.8], atol=1e-7
+    )
+    H = finite_diff_hessian(g, x)
+    H_exact = np.array(
+        [
+            [-np.sin(0.7) * 0.16, np.cos(0.7) * -0.8],
+            [np.cos(0.7) * -0.8, 2 * np.sin(0.7)],
+        ]
+    )
+    np.testing.assert_allclose(H, H_exact, atol=1e-4)
