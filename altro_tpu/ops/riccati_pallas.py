@@ -76,7 +76,8 @@ def _chol(M, diag_add=None):
         s = M[j, j] if diag_add is None else M[j, j] + diag_add
         for k in range(j):
             s = s - cols[j][k] * cols[j][k]
-        failed = failed | (s <= 0.0)
+        # NaN-safe: NaN > 0 is False, so non-finite pivots flag failure too
+        failed = failed | jnp.logical_not(s > 0.0)
         dj = jnp.sqrt(jnp.maximum(s, 1e-30))
         cols[j][j] = dj
         inv = 1.0 / dj

@@ -39,6 +39,9 @@ class SolverOptions:
 
     # Backward-pass regularization schedule (`solver_options.hpp:29-35`)
     bp_reg_increase_factor: float = 1.6
+    # Reserved, like the reference: altro-cpp declares bp_reg_enable but
+    # never reads it (`solver_options.hpp:30` is its only occurrence);
+    # kept for option-surface parity.
     bp_reg_enable: bool = True
     bp_reg_initial: float = 0.0
     bp_reg_max: float = 1e8

@@ -105,12 +105,18 @@ def quadratic_cost(Q, R, H=None, q=None, r=None, c=0.0, *, validate=True) -> Cos
     q = jnp.zeros((n,), Q.dtype) if q is None else jnp.asarray(q, Q.dtype)
     r = jnp.zeros((m,), Q.dtype) if r is None else jnp.asarray(r, Q.dtype)
     c = jnp.asarray(c, Q.dtype)
-    if validate:
+    if validate and not _is_traced(Q, R):
         _validate_quadratic(np.asarray(Q), np.asarray(R))
     params = {"Q": Q, "R": R, "H": H, "q": q, "r": r, "c": c}
     return Cost(
         params=params, fn=_quadcost_eval, expand_fn=_quadcost_expand, name="quadratic"
     )
+
+
+def _is_traced(*arrays) -> bool:
+    import jax.core
+
+    return any(isinstance(a, jax.core.Tracer) for a in arrays)
 
 
 def _validate_quadratic(Q: np.ndarray, R: np.ndarray) -> None:
@@ -136,7 +142,7 @@ def lqr_cost(Q, R, xref, uref=None, *, terminal: bool = False, validate=True) ->
     q = -(Q @ xref)
     r = -(R @ uref)
     c = 0.5 * xref @ (Q @ xref) + 0.5 * uref @ (R @ uref)
-    if validate and not terminal:
+    if validate and not terminal and not _is_traced(R):
         Rnp = np.asarray(R)
         if np.any(np.linalg.eigvalsh(Rnp) <= 0):
             raise ValueError("R must be positive definite for a non-terminal cost")

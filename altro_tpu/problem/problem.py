@@ -297,8 +297,6 @@ class CompiledProblem:
 
         if fam.shared:
             return fam.fn(fp, x, u, t, h)
-        # params stacked over the family's knots; k is the index *within* the
-        # family for single-family problems == global k only when contiguous
-        idx = k if len(self.dynamics_families) == 1 else k
-        pk = jax.tree_util.tree_map(lambda leaf: leaf[idx], fp)
+        # params stacked over the family's knots; k is the within-family index
+        pk = jax.tree_util.tree_map(lambda leaf: leaf[k], fp)
         return fam.fn(pk, x, u, t, h)

@@ -3,10 +3,11 @@
 Why this module exists.  `jax.vmap` of the per-instance solver puts the batch
 axis FIRST, so every tiny-matrix op compiles as `[B, 3, 3]` with the size-3
 dims in the TPU's (8, 128) vector-register tiles — ~1% lane utilization, and
-the Riccati scan步 cost scales linearly with B (measured: 50 ms/pass at
+the Riccati scan step cost scales linearly with B (measured: 50 ms/pass at
 B=1024).  Here the batch lives in the LAST (lane) axis: every state is
-`[..., n, B]`, all small-matrix algebra is explicit `'...ijb,...jkb->...ikb'`
-einsums (contractions over tiny axes, elementwise over B), and the m×m
+`[..., n, B]`, all small-matrix algebra is broadcast-multiply-reduce over the
+tiny contraction axes (elementwise over B — see `mm()` for why einsum is the
+wrong lowering), and the m×m
 Cholesky factor/solve is unrolled over static indices into `[B]`-wide
 elementwise ops.  Every VPU lane then does useful work.
 
@@ -117,10 +118,13 @@ def chol_solve_vec(L, v):
 
 
 def chol_failed(L):
-    """Per-instance failure mask [..., B]: any non-finite diagonal entry."""
-    bad = ~jnp.isfinite(L[0][0])
-    for i in range(1, len(L)):
-        bad = bad | ~jnp.isfinite(L[i][i])
+    """Per-instance failure mask [..., B]: any non-finite factor entry
+    (covers NaN pivots AND inf off-diagonals from a zero pivot)."""
+    bad = None
+    for i, row in enumerate(L):
+        for j in range(i + 1):
+            b = ~jnp.isfinite(row[j])
+            bad = b if bad is None else bad | b
     return bad
 
 
@@ -211,8 +215,9 @@ class ALSolverBatched:
     Restrictions vs the general solver (all satisfied by the shipped
     problem families): a single dynamics family with shared params built by
     `discretize()`; cost/constraint family params shared across knots or
-    stacked; problem params other than x0 shared across the batch unless
-    given a trailing batch axis via `batched_param_axes`.
+    stacked along knots; only the initial state `x0` varies across the batch
+    (per-instance costs/constraints: use the vmap-based
+    `parallel.batch.BatchedALSolver`).
     """
 
     def __init__(self, prob: CompiledProblem, opts: SolverOptions = None):
@@ -305,9 +310,9 @@ class ALSolverBatched:
             k2 = cont_f(params, X + 0.5 * hk * k1, U, t + 0.5 * h)
             k3 = cont_f(params, X + 0.5 * hk * k2, U, t + 0.5 * h)
             A1, B1 = cont_jac(params, X, U, t)
-            A2, B2 = cont_jac(params, X + 0.5 * hk * k1, U, t)
-            A3, B3 = cont_jac(params, X + 0.5 * hk * k2, U, t)
-            A4, B4 = cont_jac(params, X + hk * k3, U, t)
+            A2, B2 = cont_jac(params, X + 0.5 * hk * k1, U, t + 0.5 * h)
+            A3, B3 = cont_jac(params, X + 0.5 * hk * k2, U, t + 0.5 * h)
+            A4, B4 = cont_jac(params, X + hk * k3, U, t + h)
             dA1 = A1 * hm
             dA2 = mm(A2, eye + 0.5 * dA1) * hm
             dA3 = mm(A3, eye + 0.5 * dA2) * hm
@@ -696,11 +701,17 @@ class ALSolverBatched:
         )
         return Zb, valid, status
 
-    def forward_pass(self, params, al, Z, bp, J0):
-        """Per-instance backtracking line search (`ilqr.hpp:512-558`)."""
+    def forward_pass(self, params, al, Z, bp, J0, rho=None, drho=None):
+        """Per-instance backtracking line search (`ilqr.hpp:512-558`).
+
+        `rho`/`drho` are the post-decrease regularization (see the
+        per-instance solver); failure increases from there.
+        """
         opts = self.opts
         dt = Z.X.dtype
         Bsz = Z.X.shape[-1]
+        rho = bp["rho"] if rho is None else rho
+        drho = bp["drho"] if drho is None else drho
 
         def cond(c):
             return jnp.any((~c["success"]) & (c["it"] < opts.line_search_max_iterations))
@@ -744,9 +755,9 @@ class ALSolverBatched:
         )
         c = jax.lax.while_loop(cond, body, init)
         Z_out = zselect(c["success"], c["Zbar"], Z)
-        rho_i, drho_i = _increase_reg(bp["rho"], bp["drho"], opts)
-        rho = jnp.where(c["success"], bp["rho"], rho_i)
-        drho = jnp.where(c["success"], bp["drho"], drho_i)
+        rho_i, drho_i = _increase_reg(rho, drho, opts)
+        rho = jnp.where(c["success"], rho, rho_i)
+        drho = jnp.where(c["success"], drho, drho_i)
         J_final = jnp.where(c["success"], c["J"], J0)
         status = jnp.where(
             J_final > J0, jnp.int32(SolverStatus.COST_INCREASE), c["status"]
@@ -781,7 +792,7 @@ class ALSolverBatched:
             J0 = exp["costs"].sum(axis=0)
             bp = self.backward_pass(exp, c["rho"], c["drho"])
             rho_d, drho_d = _decrease_reg(bp["rho"], bp["drho"], opts)
-            fp = self.forward_pass(params, al, c["Z"], bp, J0)
+            fp = self.forward_pass(params, al, c["Z"], bp, J0, rho_d, drho_d)
             bp_failed = bp["failed"]
             status = jnp.where(
                 bp_failed,
@@ -831,8 +842,8 @@ class ALSolverBatched:
             )
             out = dict(
                 Z=zselect(active, fp["Z"], c["Z"]),
-                rho=jnp.where(active, rho_d, c["rho"]),
-                drho=jnp.where(active, drho_d, c["drho"]),
+                rho=jnp.where(active, fp["rho"], c["rho"]),
+                drho=jnp.where(active, fp["drho"], c["drho"]),
                 stats=stats,
                 cost_last=jnp.where(active, cost_new, c["cost_last"]),
                 status=jnp.where(active, status, c["status"]),
@@ -882,8 +893,10 @@ class ALSolverBatched:
         for fam, c in zip(self.prob.constraint_families, cvals):
             if fam.cone is Cone.ZERO:
                 v = jnp.abs(c)
-            else:
+            elif fam.cone is Cone.NEGATIVE_ORTHANT:
                 v = jnp.maximum(c, 0.0)
+            else:  # IDENTITY: whole space, never violated
+                continue
             viol = jnp.maximum(viol, v.max(axis=(0, 1)))
         return viol
 

@@ -142,13 +142,22 @@ class ILQRSolver:
         return Z.replace(X=Xbar, U=Ubar), valid, status
 
     def forward_pass(
-        self, params, al, Z: Trajectory, bp: BackwardPassResult, J0
+        self, params, al, Z: Trajectory, bp: BackwardPassResult, J0,
+        rho=None, drho=None,
     ) -> ForwardPassResult:
         """Backtracking line search with the z-ratio acceptance rule
-        (`ilqr.hpp:512-558`)."""
+        (`ilqr.hpp:512-558`).
+
+        `rho`/`drho` are the regularization AFTER the backward pass's
+        end-of-pass decrease (`ilqr.hpp:443-444`); a failed line search
+        increases from there (`ilqr.hpp:550`).  They default to the
+        backward-pass values for standalone use.
+        """
         opts = self.opts
         dt = Z.X.dtype
         J0 = jnp.asarray(J0, dt)
+        rho = bp.rho if rho is None else rho
+        drho = bp.drho if drho is None else drho
 
         def cond(c):
             it, alpha, success, Zbar, J, z, status = c
@@ -187,9 +196,12 @@ class ILQRSolver:
             success,
             lambda rd: rd,
             lambda rd: increase_regularization(rd[0], rd[1], opts),
-            (bp.rho, bp.drho),
+            (rho, drho),
         )
         J_final = jnp.where(success, J, J0)
+        # Faithful to the reference: this branch is unreachable in exact
+        # arithmetic (failure sets J=J0), kept for structural parity
+        # (`ilqr.hpp:554-557` has the same dead guard).
         status = jnp.where(
             J_final > J0, jnp.int32(SolverStatus.COST_INCREASE), status
         )
@@ -245,9 +257,11 @@ class ILQRSolver:
             J0 = exp.costs.sum()
             bp = self.backward_pass(exp, rho, drho)
             stats = stats_log(stats, regularization=bp.rho)
+            # end-of-backward-pass decrease (`ilqr.hpp:443-444`); a failed
+            # line search re-increases from the decreased value
             rho_d, drho_d = decrease_regularization(bp.rho, bp.drho, opts)
 
-            fp = self.forward_pass(params, al, Z, bp, J0)
+            fp = self.forward_pass(params, al, Z, bp, J0, rho_d, drho_d)
             status = jnp.where(bp.failed, bp.status, fp.status)
 
             # statistics (`ilqr.hpp:568-587`): cost/alpha/z logged only on a
@@ -296,8 +310,8 @@ class ILQRSolver:
             done = converged | hit_inner | hit_total | bad
             return {
                 "Z": fp.Z,
-                "rho": rho_d,
-                "drho": drho_d,
+                "rho": fp.rho,
+                "drho": fp.drho,
                 "stats": stats,
                 "cost_last": cost_new,
                 "status": status,
