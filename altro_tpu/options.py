@@ -107,5 +107,14 @@ class SolverOptions:
     # std::vectors (`solver_stats.cpp:25-29`); under jit we preallocate.
     stats_capacity: int = 304
 
+    # Whether the AL outer loop updates duals when the inner solve ended
+    # without converging.  True matches the reference, which updates duals
+    # unconditionally before the abort check (`al_solver.hpp:314-345`) — fine
+    # when the solve terminates there.  Phased/compacted solves that RESUME
+    # from a capped inner solve set this False: λ ← Π(λ−ρc) evaluated at an
+    # unconverged trajectory poisons the dual estimate and can drive the
+    # resumed solve to MAX_PENALTY (see solver/compaction.py).
+    update_duals_on_failed_inner: bool = True
+
     def replace(self, **updates):
         return dataclasses.replace(self, **updates)

@@ -1,2 +1,2 @@
 from . import al, functions, ilqr, pscan, riccati
-from . import batched
+from . import batched, compaction

@@ -937,6 +937,10 @@ class ALSolverBatched:
             Z2 = res["Z"]
             stats: BatchedStats = res["stats"]
             cvals = self.constraint_values(params, Z2)
+            inner_ok = res["status"] == jnp.int32(SolverStatus.SOLVED)
+            upd = active if opts.update_duals_on_failed_inner else (
+                active & inner_ok
+            )
             al_new = []
             for fam, st, cv in zip(self.prob.constraint_families, c["al"], cvals):
                 dual = dual_cone(fam.cone)
@@ -947,7 +951,7 @@ class ALSolverBatched:
                     lam = jnp.zeros_like(s)
                 else:
                     lam = jnp.minimum(s, 0.0)
-                lam = bwhere(active, lam, st["lam"])
+                lam = bwhere(upd, lam, st["lam"])
                 al_new.append(dict(lam=lam, rho=st["rho"]))
             viol = self.max_violation(cvals, Bsz, dt)
             pen = jnp.zeros((Bsz,), dt)
@@ -960,7 +964,6 @@ class ALSolverBatched:
                 max_penalty=jnp.where(active, pen, stats.max_penalty),
             )
 
-            inner_ok = res["status"] == jnp.int32(SolverStatus.SOLVED)
             sat = viol < opts.constraint_tolerance
             pen_hi = pen > opts.maximum_penalty
             outer_hi = outer >= opts.max_iterations_outer

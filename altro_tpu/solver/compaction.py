@@ -1,0 +1,162 @@
+"""Straggler compaction for the batch-native AL-iLQR solver.
+
+A lockstep batched solve runs until its SLOWEST instance converges: on the
+unicycle-parking fleet the median instance needs ~11 total iterations, the
+99th percentile ~21, the worst ~65 (`perf/benchmark_scaling.py` prints the
+distribution).  Every iteration past p99 runs full-batch kernels to advance
+<1% of the instances — the batched analog of the reference looping solves on
+one core and blocking on the slowest (`perf/benchmark_unicycle.cpp:45-75`).
+
+`CompactedALSolver` fixes this at the host level without touching the
+per-instance algorithm: run the full batch for a capped iteration budget,
+gather the unconverged stragglers into a small dense batch (`jnp.take` along
+the lane axis), continue only those, and scatter results back.  Each phase
+is the same jitted `ALSolverBatched.solve` program; phase boundaries restart
+the inner solver (open-loop rollout from the current controls, fresh
+regularization and line-search state) while duals and penalties carry over —
+the same warm-start semantics the reference defines for re-solves
+(`al_solver.hpp:288-302` with reset_duals=false, initial_penalty kept).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..options import SolverOptions
+from ..problem.problem import CompiledProblem
+from ..types import SolverStatus
+from .batched import ALSolverBatched, BatchedTrajectory
+
+# statuses that mean "ran out of budget, still making progress"
+_RESUMABLE = (
+    SolverStatus.MAX_ITERATIONS,
+    SolverStatus.MAX_INNER_ITERATIONS,
+    SolverStatus.MAX_OUTER_ITERATIONS,
+    SolverStatus.UNSOLVED,
+)
+
+
+class CompactedALSolver:
+    """Host-orchestrated two-level batched AL-iLQR solve.
+
+    Parameters
+    ----------
+    phase1_iters : total-iteration cap for the full-batch phase.  Set it near
+        the fleet's p95-p99 iteration count; stragglers past it move to the
+        compact tail phase.
+    tail_batch : lane width of the compact tail phase (instances gathered per
+        tail round).  Must be >0; rounded batches keep Pallas kernels usable.
+    max_tail_rounds : tail rounds before giving up and reporting the last
+        status (prevents livelock on genuinely non-converging instances).
+    """
+
+    def __init__(
+        self,
+        prob: CompiledProblem,
+        opts: SolverOptions = None,
+        *,
+        phase1_iters: int = 20,
+        tail_batch: int = 1024,
+        max_tail_rounds: int = 8,
+    ):
+        self.prob = prob
+        self.opts = opts or SolverOptions()
+        self.phase1_iters = int(phase1_iters)
+        self.tail_batch = int(tail_batch)
+        self.max_tail_rounds = int(max_tail_rounds)
+
+        # Phases never update duals from a capped (unconverged) inner solve —
+        # the update is only meaningful at an inner optimum, and the
+        # instances it would hit are exactly the ones that resume.
+        p1_opts = self.opts.replace(
+            max_iterations_total=min(
+                self.phase1_iters, self.opts.max_iterations_total
+            ),
+            update_duals_on_failed_inner=False,
+        )
+        # Tail phases resume the AL state: keep duals, keep penalties.
+        tail_opts = self.opts.replace(
+            reset_duals=False,
+            initial_penalty=0.0,
+            update_duals_on_failed_inner=False,
+        )
+        self._p1 = ALSolverBatched(prob, p1_opts)
+        self._tail = ALSolverBatched(prob, tail_opts)
+        self._p1_solve = jax.jit(self._p1.solve)
+        self._tail_solve = jax.jit(self._tail.solve)
+
+    # ------------------------------------------------------------- helpers
+    @staticmethod
+    def _gather(tree, idx):
+        return jax.tree_util.tree_map(lambda leaf: leaf[..., idx], tree)
+
+    @staticmethod
+    def _scatter(tree, idx, sub):
+        return jax.tree_util.tree_map(
+            lambda leaf, s: leaf.at[..., idx].set(s), tree, sub
+        )
+
+    def _gather_Z(self, Z: BatchedTrajectory, idx) -> BatchedTrajectory:
+        return dataclasses.replace(Z, X=Z.X[..., idx], U=Z.U[..., idx])
+
+    # --------------------------------------------------------------- solve
+    def solve(self, params, Z: BatchedTrajectory, al=None):
+        """Same contract as `ALSolverBatched.solve` (batch-last dict)."""
+        res = self._p1_solve(params, Z, al)
+        status = np.asarray(res["status"])
+        undone = np.isin(status, np.asarray(_RESUMABLE, status.dtype))
+        rounds = 0
+        while undone.any() and rounds < self.max_tail_rounds:
+            rounds += 1
+            idx_all = np.nonzero(undone)[0]
+            for start in range(0, len(idx_all), self.tail_batch):
+                chunk = idx_all[start : start + self.tail_batch]
+                # pad to the fixed tail width by repeating (duplicate solves
+                # write identical values back; shapes stay static for jit)
+                idx = np.concatenate(
+                    [chunk, np.full(self.tail_batch - len(chunk), chunk[0])]
+                ) if len(chunk) < self.tail_batch else chunk
+                idx_j = jnp.asarray(idx)
+                params_t = params.replace(
+                    x0=params.x0[..., idx_j] if params.x0.ndim > 1 else params.x0
+                )
+                Z_t = self._gather_Z(res["Z"], idx_j)
+                al_t = self._gather(res["al"], idx_j)
+                sub = self._tail_solve(params_t, Z_t, al_t)
+                # merge: trajectories/status/duals replace, counters add
+                res["Z"] = dataclasses.replace(
+                    res["Z"],
+                    X=res["Z"].X.at[..., idx_j].set(sub["Z"].X),
+                    U=res["Z"].U.at[..., idx_j].set(sub["Z"].U),
+                )
+                res["al"] = self._scatter(res["al"], idx_j, sub["al"])
+                res["K"] = res["K"].at[..., idx_j].set(sub["K"])
+                res["d"] = res["d"].at[..., idx_j].set(sub["d"])
+                res["status"] = res["status"].at[idx_j].set(sub["status"])
+                st, su = res["stats"], sub["stats"]
+                res["stats"] = st.replace(
+                    iterations_inner=st.iterations_inner.at[idx_j].set(
+                        su.iterations_inner
+                    ),
+                    iterations_outer=st.iterations_outer.at[idx_j].add(
+                        su.iterations_outer
+                    ),
+                    iterations_total=st.iterations_total.at[idx_j].add(
+                        su.iterations_total
+                    ),
+                    cost=st.cost.at[idx_j].set(su.cost),
+                    cost_decrease=st.cost_decrease.at[idx_j].set(su.cost_decrease),
+                    gradient=st.gradient.at[idx_j].set(su.gradient),
+                    alpha=st.alpha.at[idx_j].set(su.alpha),
+                    violations=st.violations.at[idx_j].set(su.violations),
+                    max_penalty=st.max_penalty.at[idx_j].set(su.max_penalty),
+                    regularization=st.regularization.at[idx_j].set(
+                        su.regularization
+                    ),
+                )
+            status = np.asarray(res["status"])
+            undone = np.isin(status, np.asarray(_RESUMABLE, status.dtype))
+        return res

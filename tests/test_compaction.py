@@ -1,0 +1,100 @@
+"""Straggler compaction: `CompactedALSolver` must solve every instance to
+the same tolerances as the plain lockstep batched solve, while only the
+compact tail batch pays for the slow instances.
+
+The reference has no batching, so the behavioral contract here is solution
+quality, not iterate-path identity: phase boundaries legitimately restart the
+inner solver (open-loop re-rollout + fresh regularization), which the
+reference also does between warm-started re-solves
+(`altro/augmented_lagrangian/al_solver.hpp:288-302`).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from altro_tpu import SolverOptions, SolverStatus
+from altro_tpu.models.problems import UnicycleProblem
+from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
+from altro_tpu.solver.compaction import CompactedALSolver
+
+
+def _fleet(B, seed=0, spread=0.4):
+    defn = UnicycleProblem()
+    defn.N = 30
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(rng.uniform(-spread, spread, size=(3, B)))
+    x0s = x0s.at[:, 0].set(jnp.zeros(3, x0s.dtype))
+    params_b = prob.params.replace(x0=x0s)
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(leaf, (B,) + leaf.shape), Z0
+        )
+    )
+    return prob, params_b, Zb
+
+
+def test_compacted_solves_whole_fleet():
+    B = 32
+    prob, params_b, Zb = _fleet(B)
+    opts = SolverOptions()
+
+    direct = ALSolverBatched(prob, opts)
+    res_d = jax.jit(direct.solve)(params_b, Zb)
+    assert np.all(np.asarray(res_d["status"]) == SolverStatus.SOLVED)
+
+    comp = CompactedALSolver(
+        prob, opts, phase1_iters=8, tail_batch=8, max_tail_rounds=10
+    )
+    res_c = comp.solve(params_b, Zb)
+
+    # every instance converged, feasible to tolerance
+    assert np.all(np.asarray(res_c["status"]) == SolverStatus.SOLVED)
+    assert np.asarray(res_c["stats"].violations).max() < opts.constraint_tolerance
+
+    # solutions agree with the uncompacted lockstep solve to solver tolerance
+    U_d = np.asarray(res_d["Z"].U)
+    U_c = np.asarray(res_c["Z"].U)
+    np.testing.assert_allclose(U_c, U_d, atol=5e-3)
+    # costs agree at solver-tolerance scale (each path stops when the
+    # per-iteration decrease falls below cost_tolerance, not at a shared
+    # optimum to machine precision)
+    np.testing.assert_allclose(
+        np.asarray(res_c["stats"].cost),
+        np.asarray(res_d["stats"].cost),
+        rtol=5e-3,
+        atol=1e-8,
+    )
+
+
+def test_compacted_fast_path_identical_when_no_stragglers():
+    """With a phase-1 budget above every instance's need, compaction is the
+    plain batched solve bit-for-bit (no tail round runs)."""
+    B = 8
+    prob, params_b, Zb = _fleet(B, spread=0.05)
+    opts = SolverOptions()
+    direct = ALSolverBatched(prob, opts)
+    res_d = jax.jit(direct.solve)(params_b, Zb)
+    comp = CompactedALSolver(prob, opts, phase1_iters=300, tail_batch=4)
+    res_c = comp.solve(params_b, Zb)
+    np.testing.assert_array_equal(
+        np.asarray(res_c["status"]), np.asarray(res_d["status"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_c["Z"].U), np.asarray(res_d["Z"].U)
+    )
+
+
+def test_compacted_tail_wider_than_tail_batch():
+    """More stragglers than one tail chunk: chunked gather/scatter covers all."""
+    B = 24
+    prob, params_b, Zb = _fleet(B, seed=3, spread=0.5)
+    opts = SolverOptions()
+    comp = CompactedALSolver(
+        prob, opts, phase1_iters=4, tail_batch=4, max_tail_rounds=12
+    )
+    res_c = comp.solve(params_b, Zb)
+    assert np.all(np.asarray(res_c["status"]) == SolverStatus.SOLVED)
+    assert np.asarray(res_c["stats"].violations).max() < opts.constraint_tolerance
