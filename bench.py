@@ -29,16 +29,23 @@ def main() -> None:
 
     from altro_tpu import SolverOptions, SolverStatus
     from altro_tpu.models.problems import UnicycleProblem
-    from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
+    from altro_tpu.solver.batched import to_batch_last
+    from altro_tpu.solver.compaction import CompactedALSolver
 
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     dtype = jnp.float32
 
     defn = UnicycleProblem(dtype=dtype)
     prob = defn.make_problem(add_constraints=True).compile()
-    opts = SolverOptions()
-    solver = ALSolverBatched(prob, opts)
-    solve = jax.jit(solver.solve)
+    # Reference-equivalent solver options (same tolerances and schedules);
+    # kernel/layout knobs tuned for the v5e chip: fused Pallas Riccati
+    # backward pass, 4x-unrolled time scans, straggler compaction with a
+    # 256-lane tail (solver/compaction.py).
+    opts = SolverOptions(backward_pass="pallas", scan_unroll=4)
+    solver = CompactedALSolver(
+        prob, opts, phase1_iters=14, tail_batch=min(256, batch)
+    )
+    solve = solver.solve  # phases are jitted internally
 
     Z0 = defn.initial_trajectory()
     # Batch of perturbed parking problems: initial states near the origin
@@ -64,6 +71,8 @@ def main() -> None:
     solved = int(jnp.sum(res["status"] == SolverStatus.SOLVED))
     U0 = np.asarray(res["Z"].U[..., 0], np.float64)
     vmax = np.abs(U0).max()
+    cost0 = float(np.asarray(res["stats"].cost[0], np.float64))
+    golden = 0.03893465058924039  # auglag_test.cpp:346-349
 
     iters = 3
     t0 = time.perf_counter()
@@ -83,6 +92,8 @@ def main() -> None:
         "solved": solved,
         "wall_s_per_batch": round(dt_s, 4),
         "max_abs_control": round(float(vmax), 6),
+        "canonical_cost": round(cost0, 9),
+        "canonical_cost_rel_err": round(abs(cost0 - golden) / golden, 6),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
