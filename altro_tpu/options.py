@@ -103,6 +103,13 @@ class SolverOptions:
     # sequential loop (`ilqr/ilqr.hpp:402-441`).
     backward_pass: str = "scan"
 
+    # Forward-pass kernel selection for the batch-native solver: "scan"
+    # (XLA time scans for rollout + cost) or "pallas" (fused VMEM-resident
+    # rollout+cost kernel, `ops/forward_pallas.py`; requires f32,
+    # batch % 1024 == 0 and a kernel-eligible problem structure — falls back
+    # to the scans otherwise).
+    forward_pass: str = "scan"
+
     # Capacity of the per-iteration statistics arrays.  The reference grows
     # std::vectors (`solver_stats.cpp:25-29`); under jit we preallocate.
     stats_capacity: int = 304

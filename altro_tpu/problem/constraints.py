@@ -150,6 +150,11 @@ class Constraint:
     dim: int = static_field()  # output dimension p
     jac_fn: Optional[Callable] = static_field(default=None)
     label: str = static_field(default="constraint")
+    # Structure tag for kernel special-casing: canned constraints declare
+    # their algebraic form (("goal",), ("control_bound", lo, hi),
+    # ("circle", xi, yi)) so fused Pallas kernels can evaluate them at the
+    # tile level; None means "opaque function" (XLA paths only).
+    structure: Optional[tuple] = static_field(default=None)
 
     def __call__(self, x, u):
         return self.fn(self.params, x, u)
@@ -180,6 +185,7 @@ def goal_constraint(xf) -> Constraint:
         cone=EQUALITY,
         dim=int(xf.shape[-1]),
         label="Goal Constraint",
+        structure=("goal",),
     )
 
 
@@ -215,7 +221,8 @@ def control_bound(lb, ub) -> Constraint:
         "ub": jnp.asarray(np.where(np.isfinite(ub_np), ub_np, 0.0)),
     }
     return Constraint(
-        params=params, fn=eval_fn, cone=INEQUALITY, dim=dim, label="Control Bound"
+        params=params, fn=eval_fn, cone=INEQUALITY, dim=dim,
+        label="Control Bound", structure=("control_bound", lo_idx, hi_idx),
     )
 
 
@@ -239,4 +246,5 @@ def circle_constraint(cx, cy, radius, x_index: int = 0, y_index: int = 1) -> Con
         cone=INEQUALITY,
         dim=int(cx.shape[0]),
         label="Circle Constraint",
+        structure=("circle", x_index, y_index),
     )

@@ -238,10 +238,37 @@ class ALSolverBatched:
                     "second-order cones: use the general ALSolver path"
                 )
         self._dyn = fam
+        self._fwd = None
+        if self.opts.forward_pass == "pallas":
+            from ..ops.forward_pallas import build_forward_kernel
+
+            self._fwd = build_forward_kernel(prob, self.opts)
         if self.opts.matmul_precision:
             self.solve = with_matmul_precision(self.opts.matmul_precision)(
                 self.solve
             )
+
+    def _use_fwd(self, Z: BatchedTrajectory) -> bool:
+        return (
+            self._fwd is not None
+            and Z.X.dtype == self._fwd.dtype
+            and Z.X.shape[-1] % self._fwd.tile == 0
+        )
+
+    def _fwd_rollout_cost(self, params, al_pad, Z, K, d, alpha, check_bounds):
+        """Fused rollout + cost; returns (Zbar, valid, status, J)."""
+        Bsz = Z.X.shape[-1]
+        x0 = params.x0
+        if x0.ndim == 1:
+            x0 = jnp.broadcast_to(x0[:, None], (self.prob.n, Bsz))
+        x0 = x0.astype(Z.X.dtype)
+        Xn, Ubar, J, valid, status = self._fwd(
+            params, al_pad, Z, K, d, alpha, check_bounds=check_bounds
+        )
+        Zbar = dataclasses.replace(
+            Z, X=jnp.concatenate([x0[None], Xn], axis=0), U=Ubar
+        )
+        return Zbar, valid, status, J
 
     # -------------------------------------------------------- model kernels
     def _cont_f(self, params, x, u, t):
@@ -701,11 +728,13 @@ class ALSolverBatched:
         )
         return Zb, valid, status
 
-    def forward_pass(self, params, al, Z, bp, J0, rho=None, drho=None):
+    def forward_pass(self, params, al, Z, bp, J0, rho=None, drho=None, al_pad=None):
         """Per-instance backtracking line search (`ilqr.hpp:512-558`).
 
         `rho`/`drho` are the post-decrease regularization (see the
-        per-instance solver); failure increases from there.
+        per-instance solver); failure increases from there.  `al_pad` is the
+        padded AL state for the fused Pallas forward kernel (built once per
+        inner solve by `ilqr_solve`); None selects the XLA scan path.
         """
         opts = self.opts
         dt = Z.X.dtype
@@ -718,10 +747,16 @@ class ALSolverBatched:
 
         def body(c):
             active = (~c["success"]) & (c["it"] < opts.line_search_max_iterations)
-            Zbar, valid, status = self.closed_loop_rollout(
-                params, Z, bp["K"], bp["d"], c["alpha"]
-            )
-            J_try = self.total_cost(params, al, Zbar)
+            if al_pad is not None:
+                Zbar, valid, status, J_try = self._fwd_rollout_cost(
+                    params, al_pad, Z, bp["K"], bp["d"], c["alpha"],
+                    opts.check_forwardpass_bounds,
+                )
+            else:
+                Zbar, valid, status = self.closed_loop_rollout(
+                    params, Z, bp["K"], bp["d"], c["alpha"]
+                )
+                J_try = self.total_cost(params, al, Zbar)
             J = jnp.where(valid, J_try, c["J"])
             expected = -c["alpha"] * (bp["dV1"] + c["alpha"] * bp["dV2"])
             z = jnp.where(expected > 0.0, (J0 - J_try) / expected, -jnp.ones((), dt))
@@ -775,8 +810,21 @@ class ALSolverBatched:
         Bsz = Z.X.shape[-1]
         N, n, m = self.prob.N, self.prob.n, self.prob.m
 
-        Z = zselect(outer_active, self.rollout(params, Z), Z)
-        J_init = self.total_cost(params, al, Z)
+        al_pad = None
+        if self._use_fwd(Z):
+            al_pad = self._fwd.pad_al(al)
+            zK = jnp.zeros((N, m, n, Bsz), dt)
+            zd = jnp.zeros((N, m, Bsz), dt)
+            # K=d=α=0 makes the fused kernel the open-loop rollout + cost
+            # (unguarded, like the reference's Rollout, `ilqr.hpp:453-459`)
+            Zro, _, _, J_ro = self._fwd_rollout_cost(
+                params, al_pad, Z, zK, zd, jnp.zeros((Bsz,), dt), False
+            )
+            Z = zselect(outer_active, Zro, Z)
+            J_init = J_ro
+        else:
+            Z = zselect(outer_active, self.rollout(params, Z), Z)
+            J_init = self.total_cost(params, al, Z)
         stats = stats.replace(
             initial_cost=jnp.where(outer_active, J_init, stats.initial_cost),
             iterations_inner=jnp.where(outer_active, 0, stats.iterations_inner),
@@ -792,7 +840,9 @@ class ALSolverBatched:
             J0 = exp["costs"].sum(axis=0)
             bp = self.backward_pass(exp, c["rho"], c["drho"])
             rho_d, drho_d = _decrease_reg(bp["rho"], bp["drho"], opts)
-            fp = self.forward_pass(params, al, c["Z"], bp, J0, rho_d, drho_d)
+            fp = self.forward_pass(
+                params, al, c["Z"], bp, J0, rho_d, drho_d, al_pad
+            )
             bp_failed = bp["failed"]
             status = jnp.where(
                 bp_failed,
