@@ -76,7 +76,10 @@ class ShardedALSolver:
         def solve_and_reduce(params, Z):
             res = vsolve(params, Z, None)
             # Fleet statistics with explicit mesh collectives.
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map
+            except ImportError:  # jax < 0.7
+                from jax.experimental.shard_map import shard_map
 
             def local_stats(viol, status):
                 v = jnp.max(viol)

@@ -112,8 +112,15 @@ class ALSolver:
             stats = stats.replace(iterations_outer=outer)
             stats = stats_log(stats, violations=viol, max_penalty=pen)
 
-            # IsDone (`al_solver.hpp:369-401`)
-            inner_ok = res.status == jnp.int32(SolverStatus.SOLVED)
+            # IsDone (`al_solver.hpp:369-401`).  A stall-exited inner solve
+            # (SOLVED_STALLED) continues the outer loop like a solved one —
+            # the AL terms changed, so the next inner solve is fresh work —
+            # but a solve that finishes constraint-satisfied on a stalled
+            # inner result reports SOLVED_STALLED, not SOLVED.
+            inner_solved = res.status == jnp.int32(SolverStatus.SOLVED)
+            inner_ok = inner_solved | (
+                res.status == jnp.int32(SolverStatus.SOLVED_STALLED)
+            )
             sat = viol < opts.constraint_tolerance
             pen_hi = pen > opts.maximum_penalty
             outer_hi = outer >= opts.max_iterations_outer
@@ -123,7 +130,11 @@ class ALSolver:
                 res.status,
                 jnp.where(
                     sat,
-                    jnp.int32(SolverStatus.SOLVED),
+                    jnp.where(
+                        inner_solved,
+                        jnp.int32(SolverStatus.SOLVED),
+                        jnp.int32(SolverStatus.SOLVED_STALLED),
+                    ),
                     jnp.where(
                         pen_hi,
                         jnp.int32(SolverStatus.MAX_PENALTY),

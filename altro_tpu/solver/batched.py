@@ -860,11 +860,14 @@ class ALSolverBatched:
 
             small_dj = dJ < opts.cost_tolerance
             converged = small_dj & (grad < opts.gradient_tolerance)
-            # numerical-floor stall exit (SolverOptions.max_stall_iterations)
+            # numerical-floor stall exit (SolverOptions.max_stall_iterations):
+            # its own status so it can't masquerade as SOLVED
             stall = jnp.where(active & small_dj, c["stall"] + 1,
                               jnp.where(active, 0, c["stall"]))
             if opts.max_stall_iterations > 0:
-                converged = converged | (stall >= opts.max_stall_iterations)
+                stalled = (stall >= opts.max_stall_iterations) & ~converged
+            else:
+                stalled = jnp.zeros_like(converged)
             hit_inner = inner >= opts.max_iterations_inner
             hit_total = total >= opts.max_iterations_total
             bad = status != jnp.int32(SolverStatus.UNSOLVED)
@@ -872,14 +875,18 @@ class ALSolverBatched:
                 converged,
                 jnp.int32(SolverStatus.SOLVED),
                 jnp.where(
-                    hit_inner,
-                    jnp.int32(SolverStatus.MAX_INNER_ITERATIONS),
+                    stalled,
+                    jnp.int32(SolverStatus.SOLVED_STALLED),
                     jnp.where(
-                        hit_total, jnp.int32(SolverStatus.MAX_ITERATIONS), status
+                        hit_inner,
+                        jnp.int32(SolverStatus.MAX_INNER_ITERATIONS),
+                        jnp.where(
+                            hit_total, jnp.int32(SolverStatus.MAX_ITERATIONS), status
+                        ),
                     ),
                 ),
             )
-            done_new = converged | hit_inner | hit_total | bad
+            done_new = converged | stalled | hit_inner | hit_total | bad
 
             stats = stats.replace(
                 iterations_inner=jnp.where(active, inner, stats.iterations_inner),
@@ -987,7 +994,12 @@ class ALSolverBatched:
             Z2 = res["Z"]
             stats: BatchedStats = res["stats"]
             cvals = self.constraint_values(params, Z2)
-            inner_ok = res["status"] == jnp.int32(SolverStatus.SOLVED)
+            inner_solved = res["status"] == jnp.int32(SolverStatus.SOLVED)
+            # a stall-exited inner solve continues the outer loop (see
+            # solver/al.py) but taints the final status to SOLVED_STALLED
+            inner_ok = inner_solved | (
+                res["status"] == jnp.int32(SolverStatus.SOLVED_STALLED)
+            )
             upd = active if opts.update_duals_on_failed_inner else (
                 active & inner_ok
             )
@@ -1023,7 +1035,11 @@ class ALSolverBatched:
                 res["status"],
                 jnp.where(
                     sat,
-                    jnp.int32(SolverStatus.SOLVED),
+                    jnp.where(
+                        inner_solved,
+                        jnp.int32(SolverStatus.SOLVED),
+                        jnp.int32(SolverStatus.SOLVED_STALLED),
+                    ),
                     jnp.where(
                         pen_hi,
                         jnp.int32(SolverStatus.MAX_PENALTY),

@@ -48,9 +48,20 @@ class CompactedALSolver:
         the fleet's p95-p99 iteration count; stragglers past it move to the
         compact tail phase.
     tail_batch : lane width of the compact tail phase (instances gathered per
-        tail round).  Must be >0; rounded batches keep Pallas kernels usable.
+        tail round).  Must be >0.  Widths that keep the Pallas kernels
+        eligible (multiples of 1024) run ~6x cheaper per lockstep iteration
+        than the scan fallback (`perf/profile_batch_scaling.py`).
+    tail_iters : per-round total-iteration cap for tail rounds (0 =
+        uncapped).  Capped rounds re-compact between rounds, so lanes whose
+        instance converged mid-round are dropped instead of idling until the
+        chunk's slowest instance finishes.
     max_tail_rounds : tail rounds before giving up and reporting the last
         status (prevents livelock on genuinely non-converging instances).
+
+    After each `solve`, `self.telemetry` holds phase wall times, straggler
+    counts per round, and the iteration-count distribution — the data that
+    tunes `phase1_iters` (the reference records per-iteration stats vectors
+    for the same purpose, `solver_stats.hpp:54-61`).
     """
 
     def __init__(
@@ -60,13 +71,16 @@ class CompactedALSolver:
         *,
         phase1_iters: int = 20,
         tail_batch: int = 1024,
+        tail_iters: int = 0,
         max_tail_rounds: int = 8,
     ):
         self.prob = prob
         self.opts = opts or SolverOptions()
         self.phase1_iters = int(phase1_iters)
         self.tail_batch = int(tail_batch)
+        self.tail_iters = int(tail_iters)
         self.max_tail_rounds = int(max_tail_rounds)
+        self.telemetry: dict = {}
 
         # Phases never update duals from a capped (unconverged) inner solve —
         # the update is only meaningful at an inner optimum, and the
@@ -83,6 +97,12 @@ class CompactedALSolver:
             initial_penalty=0.0,
             update_duals_on_failed_inner=False,
         )
+        if self.tail_iters > 0:
+            tail_opts = tail_opts.replace(
+                max_iterations_total=min(
+                    self.tail_iters, tail_opts.max_iterations_total
+                )
+            )
         self._p1 = ALSolverBatched(prob, p1_opts)
         self._tail = ALSolverBatched(prob, tail_opts)
         self._p1_solve = jax.jit(self._p1.solve)
@@ -105,20 +125,40 @@ class CompactedALSolver:
     # --------------------------------------------------------------- solve
     def solve(self, params, Z: BatchedTrajectory, al=None):
         """Same contract as `ALSolverBatched.solve` (batch-last dict)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         res = self._p1_solve(params, Z, al)
+        jax.block_until_ready(res["status"])
+        tel = {
+            "phase1_s": _time.perf_counter() - t0,
+            "tail_rounds": [],
+        }
         status = np.asarray(res["status"])
         undone = np.isin(status, np.asarray(_RESUMABLE, status.dtype))
         rounds = 0
         while undone.any() and rounds < self.max_tail_rounds:
             rounds += 1
+            t_round = _time.perf_counter()
+            n_stragglers = int(undone.sum())
             idx_all = np.nonzero(undone)[0]
             for start in range(0, len(idx_all), self.tail_batch):
                 chunk = idx_all[start : start + self.tail_batch]
                 # pad to the fixed tail width by repeating (duplicate solves
-                # write identical values back; shapes stay static for jit)
-                idx = np.concatenate(
-                    [chunk, np.full(self.tail_batch - len(chunk), chunk[0])]
-                ) if len(chunk) < self.tail_batch else chunk
+                # write identical values back via `.set`; shapes stay static
+                # for jit).  `.add` merges would double-count the duplicated
+                # instance, so counter increments are masked to real rows.
+                npad = self.tail_batch - len(chunk)
+                if npad > 0:
+                    idx = np.concatenate([chunk, np.full(npad, chunk[0])])
+                    real = jnp.asarray(
+                        np.concatenate(
+                            [np.ones(len(chunk), np.int32), np.zeros(npad, np.int32)]
+                        )
+                    )
+                else:
+                    idx = chunk
+                    real = jnp.ones((self.tail_batch,), jnp.int32)
                 idx_j = jnp.asarray(idx)
                 params_t = params.replace(
                     x0=params.x0[..., idx_j] if params.x0.ndim > 1 else params.x0
@@ -142,10 +182,10 @@ class CompactedALSolver:
                         su.iterations_inner
                     ),
                     iterations_outer=st.iterations_outer.at[idx_j].add(
-                        su.iterations_outer
+                        su.iterations_outer * real
                     ),
                     iterations_total=st.iterations_total.at[idx_j].add(
-                        su.iterations_total
+                        su.iterations_total * real
                     ),
                     cost=st.cost.at[idx_j].set(su.cost),
                     cost_decrease=st.cost_decrease.at[idx_j].set(su.cost_decrease),
@@ -157,6 +197,20 @@ class CompactedALSolver:
                         su.regularization
                     ),
                 )
+            jax.block_until_ready(res["status"])
             status = np.asarray(res["status"])
             undone = np.isin(status, np.asarray(_RESUMABLE, status.dtype))
+            tel["tail_rounds"].append(
+                {
+                    "stragglers": n_stragglers,
+                    "wall_s": _time.perf_counter() - t_round,
+                }
+            )
+        it = np.asarray(res["stats"].iterations_total)
+        tel["iters_p50"] = float(np.percentile(it, 50))
+        tel["iters_p95"] = float(np.percentile(it, 95))
+        tel["iters_p99"] = float(np.percentile(it, 99))
+        tel["iters_max"] = int(it.max())
+        tel["total_s"] = _time.perf_counter() - t0
+        self.telemetry = tel
         return res

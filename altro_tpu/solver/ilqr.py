@@ -289,10 +289,13 @@ class ILQRSolver:
             # over failure statuses.
             small_dj = dJ < opts.cost_tolerance
             converged = small_dj & (grad < opts.gradient_tolerance)
-            # numerical-floor stall exit (see SolverOptions.max_stall_iterations)
+            # numerical-floor stall exit (see SolverOptions.max_stall_iterations):
+            # terminates with its own status so it can't masquerade as SOLVED
             stall = jnp.where(small_dj, c["stall"] + 1, 0)
             if opts.max_stall_iterations > 0:
-                converged = converged | (stall >= opts.max_stall_iterations)
+                stalled = (stall >= opts.max_stall_iterations) & ~converged
+            else:
+                stalled = jnp.zeros((), bool)
             hit_inner = inner >= opts.max_iterations_inner
             hit_total = total >= opts.max_iterations_total
             bad = status != jnp.int32(SolverStatus.UNSOLVED)
@@ -300,14 +303,18 @@ class ILQRSolver:
                 converged,
                 jnp.int32(SolverStatus.SOLVED),
                 jnp.where(
-                    hit_inner,
-                    jnp.int32(SolverStatus.MAX_INNER_ITERATIONS),
+                    stalled,
+                    jnp.int32(SolverStatus.SOLVED_STALLED),
                     jnp.where(
-                        hit_total, jnp.int32(SolverStatus.MAX_ITERATIONS), status
+                        hit_inner,
+                        jnp.int32(SolverStatus.MAX_INNER_ITERATIONS),
+                        jnp.where(
+                            hit_total, jnp.int32(SolverStatus.MAX_ITERATIONS), status
+                        ),
                     ),
                 ),
             )
-            done = converged | hit_inner | hit_total | bad
+            done = converged | stalled | hit_inner | hit_total | bad
             return {
                 "Z": fp.Z,
                 "rho": fp.rho,

@@ -28,6 +28,13 @@ class SolverStatus(enum.IntEnum):
     MAX_INNER_ITERATIONS = 7
     MAX_PENALTY = 8
     BACKWARD_PASS_REGULARIZATION_FAILED = 9
+    # TPU extension beyond the reference's 10 codes: the inner solve exited
+    # via the numerical-floor stall heuristic (SolverOptions.
+    # max_stall_iterations) — the cost stopped moving at working precision
+    # but the gradient tolerance was never met.  Distinct from SOLVED so
+    # downstream "solved" checks don't silently absorb non-convergence;
+    # constraint satisfaction is still checked by the AL outer loop.
+    SOLVED_STALLED = 10
 
 
 @pytree_dataclass

@@ -37,13 +37,18 @@ def main() -> None:
 
     defn = UnicycleProblem(dtype=dtype)
     prob = defn.make_problem(add_constraints=True).compile()
-    # Reference-equivalent solver options (same tolerances and schedules);
-    # kernel/layout knobs tuned for the v5e chip: fused Pallas Riccati
-    # backward pass, 4x-unrolled time scans, straggler compaction with a
-    # 256-lane tail (solver/compaction.py).
-    opts = SolverOptions(backward_pass="pallas", scan_unroll=4)
+    # Reference-equivalent solver options (same tolerances and schedules).
+    # Kernel/layout knobs tuned for the v5e chip: fused Pallas forward
+    # (rollout+cost) and backward (Riccati) kernels, 4x-unrolled scans,
+    # straggler compaction with a single uncapped 1024-lane tail phase —
+    # 1024 is the minimum width that keeps both Pallas kernels eligible,
+    # and capped/re-compacted tail rounds lose more to inner-solve restarts
+    # than they save (measured: perf/profile_batch_scaling.py).
+    opts = SolverOptions(
+        backward_pass="pallas", forward_pass="pallas", scan_unroll=4
+    )
     solver = CompactedALSolver(
-        prob, opts, phase1_iters=14, tail_batch=min(256, batch)
+        prob, opts, phase1_iters=14, tail_batch=min(1024, batch)
     )
     solve = solver.solve  # phases are jitted internally
 
@@ -69,6 +74,7 @@ def main() -> None:
     # J* = 0.03893465058924039 at constraint_tolerance 1e-6; at the default
     # 1e-4 tolerance the reference stops at the same optimum.
     solved = int(jnp.sum(res["status"] == SolverStatus.SOLVED))
+    stalled = int(jnp.sum(res["status"] == SolverStatus.SOLVED_STALLED))
     U0 = np.asarray(res["Z"].U[..., 0], np.float64)
     vmax = np.abs(U0).max()
     cost0 = float(np.asarray(res["stats"].cost[0], np.float64))
@@ -90,6 +96,7 @@ def main() -> None:
         "vs_baseline": round(solves_per_s / baseline, 2),
         "batch": batch,
         "solved": solved,
+        "stalled": stalled,
         "wall_s_per_batch": round(dt_s, 4),
         "max_abs_control": round(float(vmax), 6),
         "canonical_cost": round(cost0, 9),

@@ -103,3 +103,27 @@ def test_batched_obstacles():
     res = fast.solve(params_b.replace(x0=x0_bl), to_batch_last(Zb))
     assert np.all(np.asarray(res["status"]) == SolverStatus.SOLVED)
     assert np.asarray(res["stats"].violations).max() < opts.constraint_tolerance
+
+
+def test_batched_stall_status_distinct_from_solved():
+    """Unreachable gradient tolerance → SOLVED_STALLED per instance, and the
+    AL outer loop propagates it (not plain SOLVED) on a stalled-but-feasible
+    solve."""
+    B = 3
+    defn = UnicycleProblem()
+    prob = defn.make_problem(add_constraints=True).compile()
+    opts = SolverOptions(gradient_tolerance=0.0, max_stall_iterations=3)
+    params_b, Zb = _batchify(defn, prob, B, spread=0.05)
+    fast = ALSolverBatched(prob, opts)
+    x0_bl = jnp.moveaxis(params_b.x0, 0, -1)
+    res = fast.solve(params_b.replace(x0=x0_bl), to_batch_last(Zb))
+    status = np.asarray(res["status"])
+    assert not np.any(status == SolverStatus.SOLVED)
+    assert np.all(
+        np.isin(status, [SolverStatus.SOLVED_STALLED, SolverStatus.MAX_PENALTY])
+    )
+    # the per-instance path agrees on the status split
+    ref = ALSolver(prob, opts)
+    axes = ProblemParams(x0=0, dynamics=None, costs=None, constraints=None)
+    res_ref = jax.vmap(ref.solve, in_axes=(axes, 0, None))(params_b, Zb, None)
+    np.testing.assert_array_equal(status, np.asarray(res_ref.status))

@@ -156,3 +156,37 @@ class TestUnicycle:
         J = solver.fns.total_cost(prob.params, (), res.Z)
         np.testing.assert_allclose(J, 0.0387016567, atol=1e-5)
         assert float(res.stats.gradient) < solver.opts.gradient_tolerance
+
+
+class TestStallStatus:
+    """The numerical-floor stall exit must report SOLVED_STALLED, never plain
+    SOLVED (VERDICT r1: stall folded into `converged` masked non-convergence)."""
+
+    def test_unreachable_gradient_tolerance_reports_stalled(self, tri):
+        defn, prob, solver, Z0 = tri
+        # gradient_tolerance=0 is unreachable; dJ hits the floor immediately
+        # after the 2-iteration converging solve, so the stall exit fires.
+        opts = SolverOptions(gradient_tolerance=0.0, max_stall_iterations=3)
+        s = ILQRSolver(prob, opts)
+        res = s.solve(prob.params, (), Z0)
+        assert int(res.status) == SolverStatus.SOLVED_STALLED
+        assert int(res.status) != SolverStatus.SOLVED
+
+    def test_stall_disabled_reports_max_iterations(self, tri):
+        defn, prob, solver, Z0 = tri
+        opts = SolverOptions(
+            gradient_tolerance=0.0, max_stall_iterations=0,
+            max_iterations_inner=12, max_iterations_total=12,
+        )
+        s = ILQRSolver(prob, opts)
+        res = s.solve(prob.params, (), Z0)
+        assert int(res.status) in (
+            SolverStatus.MAX_INNER_ITERATIONS, SolverStatus.MAX_ITERATIONS
+        )
+
+    def test_normal_solve_not_stalled(self, tri):
+        """Goldens converge the same iteration dJ and gradient cross tolerance;
+        the stall path must not fire on a normally-converging solve."""
+        defn, prob, solver, Z0 = tri
+        res = solver.solve(prob.params, (), Z0)
+        assert int(res.status) == SolverStatus.SOLVED
