@@ -45,6 +45,7 @@ class ALSolver:
         self.opts = opts or SolverOptions()
         self.ilqr = ILQRSolver(prob, self.opts)
         self.fns: ProblemFunctions = self.ilqr.fns
+        self._instrumented = None
         if self.opts.matmul_precision:
             from .._pytree import with_matmul_precision
 
@@ -54,6 +55,13 @@ class ALSolver:
 
     def init_al_state(self, dtype=None) -> ALState:
         return self.fns.al_state_init(dtype)
+
+    @property
+    def timer(self):
+        """Phase profiler of the last instrumented solve (`GetTimer()`
+        analog, `solver_stats.hpp:105`); None until a solve ran with
+        `profiler_enable` or non-silent `verbose`."""
+        return self._instrumented.timer if self._instrumented else None
 
     def solve(
         self,
@@ -68,6 +76,19 @@ class ALSolver:
         """
         opts = self.opts
         fns = self.fns
+        from ..options import LogLevel
+
+        if opts.profiler_enable or opts.verbose > LogLevel.SILENT:
+            # Live observability (`al_solver.hpp:307-331`): eager solves route
+            # to the host-stepped mirror with Timer scopes + live log rows;
+            # traced (jit/vmap) solves stay on the fused path.
+            from .instrumented import InstrumentedSolve, is_traced
+
+            if not is_traced(params, Z, al):
+                if self._instrumented is None:
+                    self._instrumented = InstrumentedSolve(self)
+                return self._instrumented.solve(params, Z, al)
+
         dt = Z.X.dtype
         N, n, m = self.prob.N, self.prob.n, self.prob.m
 

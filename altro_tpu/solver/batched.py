@@ -133,6 +133,35 @@ def bwhere(mask, a, b):
     return jnp.where(mask, a, b)
 
 
+def batch_axes(canon, actual):
+    """Per-leaf vmap axis spec for possibly per-instance problem params.
+
+    The batch-last convention for varying problem data across instances is a
+    TRAILING batch axis on the param leaf (e.g. goal `q` [n] → [n, B],
+    obstacle centers [n_obs] → [n_obs, B]).  A leaf is per-instance iff its
+    ndim exceeds the canonical (unbatched) leaf's by one; this returns -1 for
+    those leaves and None for shared ones — directly usable as a `vmap`
+    in_axes pytree.  This is the batched analog of the reference's
+    loop-of-solves with different problem objects per iteration
+    (`perf/benchmark_unicycle.cpp:45-75`).
+    """
+    return jax.tree_util.tree_map(
+        lambda c, a: -1 if jnp.ndim(a) == jnp.ndim(c) + 1 else None,
+        canon,
+        actual,
+    )
+
+
+def any_batched(canon, actual) -> bool:
+    """True if any leaf of `actual` carries a trailing batch axis."""
+    return any(
+        jnp.ndim(a) == jnp.ndim(c) + 1
+        for c, a in zip(
+            jax.tree_util.tree_leaves(canon), jax.tree_util.tree_leaves(actual)
+        )
+    )
+
+
 def btree_select(mask, on_true, on_false):
     return jax.tree_util.tree_map(lambda a, b: jnp.where(mask, a, b), on_true, on_false)
 
@@ -212,12 +241,18 @@ def from_batch_last(Zb: BatchedTrajectory):
 class ALSolverBatched:
     """Throughput-oriented batched AL-iLQR.
 
-    Restrictions vs the general solver (all satisfied by the shipped
-    problem families): a single dynamics family with shared params built by
-    `discretize()`; cost/constraint family params shared across knots or
-    stacked along knots; only the initial state `x0` varies across the batch
-    (per-instance costs/constraints: use the vmap-based
-    `parallel.batch.BatchedALSolver`).
+    Any problem datum may vary per instance: `x0` as [n, B], and any cost /
+    constraint / dynamics param leaf by carrying a TRAILING batch axis versus
+    its canonical shape (goal refs [n] → [n, B], obstacle layouts
+    [n_obs] → [n_obs, B], masses () → [B]; see `batch_axes`) — the batched
+    replacement for the reference's loop over distinct problem objects
+    (`perf/benchmark_unicycle.cpp:45-75`).  Remaining restrictions vs the
+    general solver (satisfied by the shipped problem families): a single
+    dynamics family with knot-shared params built by `discretize()`, and no
+    second-order cones (use the vmap-based `parallel.batch.BatchedALSolver`
+    for those).  Per-instance params disable the fused forward Pallas kernel
+    (its SMEM param streaming is built for shared shapes) but keep the full
+    batch-last scan path.
     """
 
     def __init__(self, prob: CompiledProblem, opts: SolverOptions = None):
@@ -248,11 +283,19 @@ class ALSolverBatched:
                 self.solve
             )
 
-    def _use_fwd(self, Z: BatchedTrajectory) -> bool:
+    def _use_fwd(self, params: ProblemParams, Z: BatchedTrajectory) -> bool:
+        canon = self.prob.params
         return (
             self._fwd is not None
             and Z.X.dtype == self._fwd.dtype
             and Z.X.shape[-1] % self._fwd.tile == 0
+            # the kernel streams problem params through SMEM at build-time
+            # shapes: per-instance (trailing-batch) cost/constraint/dynamics
+            # params fall back to the XLA scans (x0 may vary freely)
+            and not any_batched(
+                (canon.dynamics, canon.costs, canon.constraints),
+                (params.dynamics, params.costs, params.constraints),
+            )
         )
 
     def _fwd_rollout_cost(self, params, al_pad, Z, K, d, alpha, check_bounds):
@@ -271,19 +314,23 @@ class ALSolverBatched:
         return Zbar, valid, status, J
 
     # -------------------------------------------------------- model kernels
+    def _dyn_baxes(self, params):
+        """vmap axes for possibly per-instance dynamics params."""
+        return batch_axes(self.prob.params.dynamics[0], params)
+
     def _cont_f(self, params, x, u, t):
         """Continuous dynamics, batch-last: x [n, B] -> xdot [n, B]."""
         fn = self._dyn.model.continuous_fn
-        return jax.vmap(fn, in_axes=(None, -1, -1, None), out_axes=-1)(
-            params, x, u, t
-        )
+        return jax.vmap(
+            fn, in_axes=(self._dyn_baxes(params), -1, -1, None), out_axes=-1
+        )(params, x, u, t)
 
     def _cont_jac(self, params, x, u, t):
         fn = self._dyn.model.continuous_fn
         jac = jax.jacfwd(fn, argnums=(1, 2))
-        A, Bc = jax.vmap(jac, in_axes=(None, -1, -1, None), out_axes=-1)(
-            params, x, u, t
-        )
+        A, Bc = jax.vmap(
+            jac, in_axes=(self._dyn_baxes(params), -1, -1, None), out_axes=-1
+        )(params, x, u, t)
         return A, Bc  # [n, n, B], [n, m, B]
 
     def dyn_step(self, params, x, u, t, h):
@@ -300,7 +347,9 @@ class ALSolverBatched:
             return x + h * self._cont_f(params, x, u, t)
         # generic discrete fn fallback
         return jax.vmap(
-            self._dyn.fn, in_axes=(None, -1, -1, None, None), out_axes=-1
+            self._dyn.fn,
+            in_axes=(self._dyn_baxes(params), -1, -1, None, None),
+            out_axes=-1,
         )(params, x, u, t, h)
 
     def dyn_jacobian_all(self, params, Z: BatchedTrajectory):
@@ -353,7 +402,11 @@ class ALSolverBatched:
             return A, Bd
         # generic: AD of the discrete step, double-vmapped
         jac = jax.jacfwd(self._dyn.fn, argnums=(1, 2))
-        jb = jax.vmap(jac, in_axes=(None, -1, -1, None, None), out_axes=-1)
+        jb = jax.vmap(
+            jac,
+            in_axes=(self._dyn_baxes(params), -1, -1, None, None),
+            out_axes=-1,
+        )
         jkb = jax.vmap(jb, in_axes=(None, 0, 0, 0, 0), out_axes=0)
         return jkb(params, X, U, t, h)
 
@@ -365,50 +418,71 @@ class ALSolverBatched:
     def _family_xu(self, fam, Z: BatchedTrajectory):
         return Z.X[fam.knots], self._upad(Z)[fam.knots]
 
-    def _quad_terms(self, fp, Xk, Uk, want_expansion):
+    def _quad_terms(self, fp, canon, Xk, Uk, want_expansion):
         """Closed-form quadratic cost family, batch-last.
 
         J = ½xᵀQx + xᵀHu + ½uᵀRu + qᵀx + rᵀu + c (`quadratic_cost.cpp:8-28`).
-        Param shapes: shared [n,n] or per-knot [nk,n,n].
+        Param shapes: shared [n,n], per-knot [nk,n,n], and either with a
+        trailing per-instance batch axis ([..., B], see `batch_axes`);
+        `canon` is the canonical (unbatched) param pytree used to tell the
+        layouts apart.
         """
-        Q, R, H, q, r, c = fp["Q"], fp["R"], fp["H"], fp["q"], fp["r"], fp["c"]
-        per_knot = Q.ndim == 3
+        nk, n, Bsz = Xk.shape
+        m = Uk.shape[1]
+
+        def norm(name, core_nd):
+            # normalize to broadcastable [NK, *core, BB] with NK∈{1,nk},
+            # BB∈{1,B}
+            leaf = jnp.asarray(fp[name])
+            if leaf.ndim != jnp.ndim(canon[name]) + 1:
+                leaf = leaf[..., None]  # not per-instance
+            if leaf.ndim != core_nd + 2:
+                leaf = leaf[None]  # not per-knot
+            return leaf
+
+        Q = norm("Q", 2)
+        R = norm("R", 2)
+        H = norm("H", 2)
+        q = norm("q", 1)
+        r = norm("r", 1)
+        c = norm("c", 0)
 
         def matvec(Mat, V):
-            # Mat [n,m] or [nk,n,m]; V [nk,m,B] -> [nk,n,B]; broadcast-reduce
-            # over the tiny contraction axis (see mm() for why not einsum)
-            M4 = Mat[:, :, :, None] if Mat.ndim == 3 else Mat[None, :, :, None]
-            return (M4 * V[:, None, :, :]).sum(axis=2)
+            # Mat [NK,i,j,BB]; V [nk,j,B] -> [nk,i,B]; broadcast-reduce over
+            # the tiny contraction axis (see mm() for why not einsum)
+            return (Mat * V[:, None, :, :]).sum(axis=2)
 
         def vdot(vec, V):
-            v3 = vec[:, :, None] if vec.ndim == 2 else vec[None, :, None]
-            return (v3 * V).sum(axis=1)
+            return (vec * V).sum(axis=1)
 
         Qx = matvec(Q, Xk)
         Ru = matvec(R, Uk)
         Hu = matvec(H, Uk)
-        Ht = jnp.swapaxes(H, -1, -2)
-        Htx = matvec(Ht, Xk)
+        Htx = matvec(jnp.swapaxes(H, 1, 2), Xk)
         J = (
             0.5 * dotv(Xk, Qx)
             + dotv(Xk, Hu)
             + 0.5 * dotv(Uk, Ru)
             + vdot(q, Xk)
             + vdot(r, Uk)
-            + (c[:, None] if per_knot else c)
+            + c
         )
         if not want_expansion:
             return J, None
-        nk, _, Bsz = Xk.shape
+
         def bc(Mat):
-            tgt = (nk,) + Mat.shape[-2:] + (Bsz,)
-            return jnp.broadcast_to(Mat[..., :, :, None], tgt)
-        lx = Qx + Hu + (q[:, :, None] if per_knot else q[None, :, None])
-        lu = Ru + Htx + (r[:, :, None] if per_knot else r[None, :, None])
+            return jnp.broadcast_to(Mat, (nk,) + Mat.shape[1:3] + (Bsz,))
+
+        lx = Qx + Hu + q
+        lu = Ru + Htx + r
         return J, (lx, lu, bc(Q), bc(H), bc(R))
 
-    def _generic_cost_terms(self, fam, fp, Xk, Uk, want_expansion):
-        """Fallback for arbitrary cost fns: AD expansion, double-vmapped."""
+    def _generic_cost_terms(self, fam, fp, canon, Xk, Uk, want_expansion):
+        """Fallback for arbitrary cost fns: AD expansion, double-vmapped.
+
+        Per-instance param leaves (trailing batch axis vs `canon`) vmap over
+        the batch with the states; shared leaves broadcast.
+        """
         from ..problem.costs import ad_expansion
 
         def one(p, x, u):
@@ -421,31 +495,34 @@ class ALSolverBatched:
                 return t.J, t.lx, t.lu, t.lxx, t.lxu, t.luu
             return (fam.fn(p, x, u),)
 
-        inner = jax.vmap(one, in_axes=(None, -1, -1), out_axes=-1)
+        inner = jax.vmap(one, in_axes=(batch_axes(canon, fp), -1, -1), out_axes=-1)
         if fam.shared:
             outer = jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)
-            out = outer(fp, Xk, Uk)
         else:
             outer = jax.vmap(inner, in_axes=(0, 0, 0), out_axes=0)
-            out = outer(fp, Xk, Uk)
+        out = outer(fp, Xk, Uk)
         if want_expansion:
             J, lx, lu, lxx, lxu, luu = out
             return J, (lx, lu, lxx, lxu, luu)
         return out[0], None
 
-    def _con_values(self, fam, fp, Xk, Uk):
+    def _con_values(self, fam, fp, canon, Xk, Uk):
         """Constraint values [nk, p, B] via double vmap."""
-        inner = jax.vmap(fam.fn, in_axes=(None, -1, -1), out_axes=-1)
+        inner = jax.vmap(
+            fam.fn, in_axes=(batch_axes(canon, fp), -1, -1), out_axes=-1
+        )
         if fam.shared:
             return jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)(fp, Xk, Uk)
         return jax.vmap(inner, in_axes=(0, 0, 0), out_axes=0)(fp, Xk, Uk)
 
-    def _con_jacs(self, fam, fp, Xk, Uk):
+    def _con_jacs(self, fam, fp, canon, Xk, Uk):
         """Constraint Jacobians ([nk,p,n,B], [nk,p,m,B])."""
         jfn = fam.jac_fn
         if jfn is None:
             jfn = lambda p, x, u: jax.jacfwd(fam.fn, argnums=(1, 2))(p, x, u)
-        inner = jax.vmap(jfn, in_axes=(None, -1, -1), out_axes=-1)
+        inner = jax.vmap(
+            jfn, in_axes=(batch_axes(canon, fp), -1, -1), out_axes=-1
+        )
         if fam.shared:
             return jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)(fp, Xk, Uk)
         return jax.vmap(inner, in_axes=(0, 0, 0), out_axes=0)(fp, Xk, Uk)
@@ -493,16 +570,20 @@ class ALSolverBatched:
         N = self.prob.N
         Bsz = Z.X.shape[-1]
         costs = jnp.zeros((N + 1, Bsz), Z.X.dtype)
-        for fam, fp in zip(self.prob.cost_families, params.costs):
+        canon = self.prob.params
+        for fam, fp, cp in zip(self.prob.cost_families, params.costs, canon.costs):
             Xk, Uk = self._family_xu(fam, Z)
             if fam.fn is _quadcost_eval:
-                J, _ = self._quad_terms(fp, Xk, Uk, False)
+                J, _ = self._quad_terms(fp, cp, Xk, Uk, False)
             else:
-                J, _ = self._generic_cost_terms(fam, fp, Xk, Uk, False)
+                J, _ = self._generic_cost_terms(fam, fp, cp, Xk, Uk, False)
             costs = costs.at[fam.knots].add(J)
-        for fam, fp, st in zip(self.prob.constraint_families, params.constraints, al):
+        for fam, fp, cp, st in zip(
+            self.prob.constraint_families, params.constraints,
+            canon.constraints, al,
+        ):
             Xk, Uk = self._family_xu(fam, Z)
-            c = self._con_values(fam, fp, Xk, Uk)
+            c = self._con_values(fam, fp, cp, Xk, Uk)
             J, _ = self._al_terms(fam, c, None, None, st["lam"], st["rho"], False)
             costs = costs.at[fam.knots].add(J)
         return costs
@@ -522,12 +603,13 @@ class ALSolverBatched:
         lxx = jnp.zeros((N + 1, n, n, Bsz), dt)
         lxu = jnp.zeros((N + 1, n, m, Bsz), dt)
         luu = jnp.zeros((N + 1, m, m, Bsz), dt)
-        for fam, fp in zip(prob.cost_families, params.costs):
+        canon = prob.params
+        for fam, fp, cp in zip(prob.cost_families, params.costs, canon.costs):
             Xk, Uk = self._family_xu(fam, Z)
             if fam.fn is _quadcost_eval:
-                J, exp = self._quad_terms(fp, Xk, Uk, True)
+                J, exp = self._quad_terms(fp, cp, Xk, Uk, True)
             else:
-                J, exp = self._generic_cost_terms(fam, fp, Xk, Uk, True)
+                J, exp = self._generic_cost_terms(fam, fp, cp, Xk, Uk, True)
             glx, glu, glxx, glxu, gluu = exp
             ks = fam.knots
             costs = costs.at[ks].add(J)
@@ -536,10 +618,12 @@ class ALSolverBatched:
             lxx = lxx.at[ks].add(glxx)
             lxu = lxu.at[ks].add(glxu)
             luu = luu.at[ks].add(gluu)
-        for fam, fp, st in zip(prob.constraint_families, params.constraints, al):
+        for fam, fp, cp, st in zip(
+            prob.constraint_families, params.constraints, canon.constraints, al
+        ):
             Xk, Uk = self._family_xu(fam, Z)
-            c = self._con_values(fam, fp, Xk, Uk)
-            Cx, Cu = self._con_jacs(fam, fp, Xk, Uk)
+            c = self._con_values(fam, fp, cp, Xk, Uk)
+            Cx, Cu = self._con_jacs(fam, fp, cp, Xk, Uk)
             J, exp = self._al_terms(fam, c, Cx, Cu, st["lam"], st["rho"], True)
             gx, gu, Hxx, Hxu, Huu = exp
             ks = fam.knots
@@ -811,7 +895,7 @@ class ALSolverBatched:
         N, n, m = self.prob.N, self.prob.n, self.prob.m
 
         al_pad = None
-        if self._use_fwd(Z):
+        if self._use_fwd(params, Z):
             al_pad = self._fwd.pad_al(al)
             zK = jnp.zeros((N, m, n, Bsz), dt)
             zd = jnp.zeros((N, m, Bsz), dt)
@@ -941,8 +1025,12 @@ class ALSolverBatched:
 
     def constraint_values(self, params, Z):
         return tuple(
-            self._con_values(fam, fp, *self._family_xu(fam, Z))
-            for fam, fp in zip(self.prob.constraint_families, params.constraints)
+            self._con_values(fam, fp, cp, *self._family_xu(fam, Z))
+            for fam, fp, cp in zip(
+                self.prob.constraint_families,
+                params.constraints,
+                self.prob.params.constraints,
+            )
         )
 
     def max_violation(self, cvals, Bsz, dtype):

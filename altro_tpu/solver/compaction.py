@@ -160,8 +160,16 @@ class CompactedALSolver:
                     idx = chunk
                     real = jnp.ones((self.tail_batch,), jnp.int32)
                 idx_j = jnp.asarray(idx)
-                params_t = params.replace(
-                    x0=params.x0[..., idx_j] if params.x0.ndim > 1 else params.x0
+                # gather every per-instance (trailing-batch) param leaf —
+                # x0 and any batched cost/constraint/dynamics data
+                params_t = jax.tree_util.tree_map(
+                    lambda c, leaf: (
+                        leaf[..., idx_j]
+                        if jnp.ndim(leaf) == jnp.ndim(c) + 1
+                        else leaf
+                    ),
+                    self.prob.params,
+                    params,
                 )
                 Z_t = self._gather_Z(res["Z"], idx_j)
                 al_t = self._gather(res["al"], idx_j)

@@ -72,10 +72,17 @@ class SolverLogger:
     (`solver_stats.cpp:80-114`).
     """
 
-    def __init__(self, level: LogLevel = LogLevel.SILENT, color: bool = True):
+    def __init__(
+        self,
+        level: LogLevel = LogLevel.SILENT,
+        color: bool = True,
+        frequency: int = 10,
+    ):
         self.level = LogLevel(level)
         self.color = color and sys.stdout.isatty()
-        self.frequency = 10
+        # header reprint period (`SolverOptions.header_frequency`,
+        # `solver_logger.cpp:47-54`)
+        self.frequency = max(int(frequency), 1)
         self._count = 0
         self.entries: dict[str, LogEntry] = {}
         self._order: list[str] = []
@@ -94,6 +101,11 @@ class SolverLogger:
         add(LogEntry("reg", "{:>.1e}", 9, LogLevel.INNER_DEBUG))
         add(LogEntry("z", "{:>.3f}", 7, LogLevel.INNER_DEBUG))
         add(LogEntry("pen", "{:>.1e}", 9, LogLevel.DEBUG))
+
+    def reset(self) -> None:
+        """Restart the header cadence (new solve)."""
+        self._count = 0
+        self._current.clear()
 
     def add_entry(self, entry: LogEntry):
         self.entries[entry.title] = entry

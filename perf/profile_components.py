@@ -48,7 +48,7 @@ def main():
     Zb = to_batch_last(
         jax.tree_util.tree_map(lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0)
     )
-    print("use_fwd:", s._use_fwd(Zb))
+    print("use_fwd:", s._use_fwd(params, Zb))
     al = s.al_state_init(B, dtype)
     Zr = jax.jit(s.rollout)(params, Zb)
 
