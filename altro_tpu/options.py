@@ -114,6 +114,13 @@ class SolverOptions:
     # std::vectors (`solver_stats.cpp:25-29`); under jit we preallocate.
     stats_capacity: int = 304
 
+    # Per-iteration history rows in the BATCHED solver ([capacity, 8, B],
+    # `solver/batched.py:BatchedStats.rows`) — the batched analog of the
+    # reference's per-iteration stats vectors (`solver_stats.hpp:54-61`).
+    # 0 (default) disables recording; the throughput path pays nothing.
+    # Set >= max_iterations_total to keep every iteration.
+    iteration_history_capacity: int = 0
+
     # Whether the AL outer loop updates duals when the inner solve ended
     # without converging.  True matches the reference, which updates duals
     # unconditionally before the abort check (`al_solver.hpp:314-345`) — fine

@@ -178,7 +178,16 @@ def zselect(mask, Za, Zb):
 
 @pytree_dataclass
 class BatchedStats:
-    """Per-instance counters and convergence scalars, shapes [B]."""
+    """Per-instance counters and convergence scalars, shapes [B].
+
+    `rows` is the per-iteration history — the batched analog of the
+    reference's per-iteration stats vectors (`solver_stats.hpp:54-61`) and of
+    `SolverStats.rows` in the per-instance solver: `[capacity, 8, B]` in
+    `types._COLUMNS` order (cost, alpha, improvement_ratio, gradient,
+    cost_decrease, regularization, violations, max_penalty), row i holding
+    instance b's values after its (i+1)-th total iteration.  Capacity 0
+    (the default) disables recording and costs nothing.
+    """
 
     iterations_inner: jax.Array
     iterations_outer: jax.Array
@@ -188,19 +197,57 @@ class BatchedStats:
     cost_decrease: jax.Array
     gradient: jax.Array
     alpha: jax.Array
+    improvement_ratio: jax.Array
     violations: jax.Array
     max_penalty: jax.Array
     regularization: jax.Array
+    rows: jax.Array  # [capacity, 8, B]
 
 
-def batched_stats_init(B: int, dtype) -> BatchedStats:
+_HISTORY_COLUMNS = (
+    "cost",
+    "alpha",
+    "improvement_ratio",
+    "gradient",
+    "cost_decrease",
+    "regularization",
+    "violations",
+    "max_penalty",
+)
+
+
+def batched_stats_init(B: int, dtype, history_capacity: int = 0) -> BatchedStats:
     z = jnp.zeros((B,), dtype)
     i = jnp.zeros((B,), jnp.int32)
     return BatchedStats(
         iterations_inner=i, iterations_outer=i, iterations_total=i,
         initial_cost=z, cost=z, cost_decrease=z, gradient=z, alpha=z,
-        violations=z, max_penalty=z, regularization=z,
+        improvement_ratio=z, violations=z, max_penalty=z, regularization=z,
+        rows=jnp.zeros((history_capacity, len(_HISTORY_COLUMNS), B), dtype),
     )
+
+
+def batched_stats_column(stats: BatchedStats, name: str) -> jax.Array:
+    """History column `name` as [capacity, B]; instance b's rows are valid up
+    to `stats.iterations_total[b]` (`types.stats_column` analog)."""
+    return stats.rows[:, _HISTORY_COLUMNS.index(name), :]
+
+
+def _record_history(stats: BatchedStats, active) -> BatchedStats:
+    """Write the current column values into each active instance's row
+    `iterations_total-1` (call after the per-iteration stats update)."""
+    cap = stats.rows.shape[0]
+    if cap == 0:
+        return stats
+    Bsz = stats.rows.shape[-1]
+    vals = jnp.stack(
+        [getattr(stats, name) for name in _HISTORY_COLUMNS], axis=0
+    )  # [8, B]
+    idx = jnp.clip(stats.iterations_total - 1, 0, cap - 1)
+    lanes = jnp.arange(Bsz)
+    old = stats.rows[idx, :, lanes]  # [B, 8]
+    new = jnp.where(active[:, None], jnp.swapaxes(vals, 0, 1), old)
+    return stats.replace(rows=stats.rows.at[idx, :, lanes].set(new))
 
 
 @pytree_dataclass
@@ -699,8 +746,10 @@ class ALSolverBatched:
         """Retry loop with per-instance regularization (`ilqr.hpp:385-445`).
 
         The sweep kernel is selected by `opts.backward_pass`: "scan" (XLA
-        lax.scan) or "pallas" (fused VMEM-resident kernel,
-        `ops/riccati_pallas.py`; requires batch % 1024 == 0).
+        lax.scan), "pallas" (fused VMEM-resident kernel,
+        `ops/riccati_pallas.py`; requires batch % 1024 == 0), or "pscan"
+        (associative-scan parallel Riccati in batch-last layout,
+        `solver/pscan_batched.py`; O(log N) depth for long horizons).
         """
         opts = self.opts
         if opts.backward_pass == "pallas":
@@ -710,6 +759,10 @@ class ALSolverBatched:
                 sweep = lambda e, r: riccati_pallas(e, r)
             else:
                 sweep = self.riccati_scan
+        elif opts.backward_pass == "pscan":
+            from .pscan_batched import riccati_pscan_batched
+
+            sweep = riccati_pscan_batched
         else:
             sweep = self.riccati_scan
         N = exp["A"].shape[0]
@@ -979,8 +1032,12 @@ class ALSolverBatched:
                 cost_decrease=jnp.where(active, dJ, stats.cost_decrease),
                 gradient=jnp.where(active, grad, stats.gradient),
                 alpha=jnp.where(active & fp["success"], fp["alpha"], stats.alpha),
+                improvement_ratio=jnp.where(
+                    active & fp["success"], fp["z"], stats.improvement_ratio
+                ),
                 regularization=jnp.where(active, bp["rho"], stats.regularization),
             )
+            stats = _record_history(stats, active)
             out = dict(
                 Z=zselect(active, fp["Z"], c["Z"]),
                 rho=jnp.where(active, fp["rho"], c["rho"]),
@@ -1064,7 +1121,18 @@ class ALSolverBatched:
                     dict(lam=s["lam"], rho=jnp.full_like(s["rho"], opts.initial_penalty))
                     for s in al
                 )
-        stats = batched_stats_init(Bsz, dt)
+        stats = batched_stats_init(Bsz, dt, opts.iteration_history_capacity)
+        if opts.iteration_history_capacity > 0 and self.prob.constraint_families:
+            # seed the viol/pen columns like the per-instance solver's
+            # pre-solve log (`solver/al.py`: stats_log before the loop)
+            cvals0 = self.constraint_values(params, Z)
+            pen0 = jnp.zeros((Bsz,), dt)
+            for st in al:
+                pen0 = jnp.maximum(pen0, st["rho"].max(axis=0))
+            stats = stats.replace(
+                violations=self.max_violation(cvals0, Bsz, dt),
+                max_penalty=pen0,
+            )
 
         if not self.prob.constraint_families:
             out = self.ilqr_solve(params, al, Z, stats, jnp.ones((Bsz,), bool))

@@ -185,6 +185,23 @@ class CompactedALSolver:
                 res["d"] = res["d"].at[..., idx_j].set(sub["d"])
                 res["status"] = res["status"].at[idx_j].set(sub["status"])
                 st, su = res["stats"], sub["stats"]
+                rows = st.rows
+                cap = rows.shape[0]
+                if cap > 0:
+                    # splice the tail round's history after each instance's
+                    # prior iterations: res.rows[T0[b]+r, :, idx[b]] =
+                    # sub.rows[r, :, b] for r < tail iterations; padded
+                    # duplicates and out-of-capacity rows drop
+                    T0 = st.iterations_total[idx_j]  # before the .add below
+                    r = jnp.arange(cap)
+                    valid = (r[:, None] < su.iterations_total[None, :]) & (
+                        real[None, :] > 0
+                    )
+                    dst = jnp.where(valid, T0[None, :] + r[:, None], cap)
+                    lanes = jnp.broadcast_to(idx_j[None, :], dst.shape)
+                    rows = rows.at[dst, :, lanes].set(
+                        jnp.moveaxis(su.rows, 1, 2), mode="drop"
+                    )
                 res["stats"] = st.replace(
                     iterations_inner=st.iterations_inner.at[idx_j].set(
                         su.iterations_inner
@@ -199,11 +216,15 @@ class CompactedALSolver:
                     cost_decrease=st.cost_decrease.at[idx_j].set(su.cost_decrease),
                     gradient=st.gradient.at[idx_j].set(su.gradient),
                     alpha=st.alpha.at[idx_j].set(su.alpha),
+                    improvement_ratio=st.improvement_ratio.at[idx_j].set(
+                        su.improvement_ratio
+                    ),
                     violations=st.violations.at[idx_j].set(su.violations),
                     max_penalty=st.max_penalty.at[idx_j].set(su.max_penalty),
                     regularization=st.regularization.at[idx_j].set(
                         su.regularization
                     ),
+                    rows=rows,
                 )
             jax.block_until_ready(res["status"])
             status = np.asarray(res["status"])

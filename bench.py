@@ -101,6 +101,11 @@ def main() -> None:
         "max_abs_control": round(float(vmax), 6),
         "canonical_cost": round(cost0, 9),
         "canonical_cost_rel_err": round(abs(cost0 - golden) / golden, 6),
+        # iteration-count distribution (tunes phase1_iters; the reference
+        # records per-iteration stats vectors for this, solver_stats.hpp:54-61)
+        "iters_p50": solver.telemetry.get("iters_p50"),
+        "iters_p99": solver.telemetry.get("iters_p99"),
+        "iters_max": solver.telemetry.get("iters_max"),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

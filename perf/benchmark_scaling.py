@@ -97,6 +97,62 @@ def mesh_scaling():
         )
 
 
+def backward_comparison():
+    """Backward-sweep kernels at N in {100, 512}: sequential scan vs
+    associative-scan (pscan) vs fused Pallas (VERDICT-requested comparison;
+    reference sequential pass: `ilqr/ilqr.hpp:402-441`)."""
+    on_cpu = "cpu" in sys.argv
+    Bs = (256,) if on_cpu else (1024, 4096)
+    Ns = (100, 512)
+    dtype = jnp.float32
+    print("== backward-pass kernels: scan vs pscan vs pallas ==")
+    for N in Ns:
+        defn = UnicycleProblem(dtype=dtype)
+        defn.N = N
+        defn.__post_init__()
+        prob = defn.make_problem(add_constraints=True).compile()
+        for B in Bs:
+            solver = ALSolverBatched(prob, SolverOptions())
+            rng = np.random.default_rng(0)
+            params = prob.params.replace(
+                x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, B)), dtype)
+            )
+            Zb = to_batch_last(
+                jax.tree_util.tree_map(
+                    lambda l: jnp.broadcast_to(l, (B,) + l.shape),
+                    defn.initial_trajectory(),
+                )
+            )
+            al = solver.al_state_init(B, dtype)
+            Zr = jax.jit(solver.rollout)(params, Zb)
+            exp = jax.jit(solver.expand)(params, al, Zr)
+            exp = jax.tree_util.tree_map(jax.block_until_ready, exp)
+            rho = jnp.zeros((B,), dtype)
+
+            sweeps = {"scan": jax.jit(solver.riccati_scan)}
+            from altro_tpu.solver.pscan_batched import riccati_pscan_batched
+
+            sweeps["pscan"] = jax.jit(riccati_pscan_batched)
+            if not on_cpu and B % 1024 == 0:
+                from altro_tpu.ops.riccati_pallas import riccati_pallas
+
+                sweeps["pallas"] = jax.jit(riccati_pallas)
+            for name, fn in sweeps.items():
+                out = fn(exp, rho)
+                jax.block_until_ready(out[0])
+                iters = 5
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = fn(exp, rho)
+                jax.block_until_ready(out[0])
+                dt = (time.perf_counter() - t0) / iters
+                print(f"N={N:4d} B={B:5d} {name:7s}: {dt * 1e3:9.3f} ms/sweep")
+
+
 if __name__ == "__main__":
-    batch_scaling()
-    mesh_scaling()
+    if "--backward" in sys.argv:
+        backward_comparison()
+    else:
+        batch_scaling()
+        mesh_scaling()
+        backward_comparison()
