@@ -110,6 +110,24 @@ class SolverOptions:
     # to the scans otherwise).
     forward_pass: str = "scan"
 
+    # Speculative (parallel) line search width for the batch-native solver's
+    # fused Pallas forward pass.  The backtracking search is lockstep across
+    # the batch: one instance needing k halvings makes ALL instances pay k
+    # rollout+cost rounds (`ilqr.hpp:525-545` run per instance on CPU; here
+    # the while_loop trip count is the batch max).  The fused forward kernel
+    # is latency-bound, so evaluating S candidate step sizes α·(1, ½, …,
+    # ½^(S-1)) in ONE call at S× lane width costs ~2× a single try at S=8
+    # (measured on v5e standalone), not S×.  Each instance then accepts the
+    # FIRST passing candidate — bit-identical to the sequential halving
+    # sequence (tested).  1 (default) disables; only the Pallas forward path
+    # speculates.  Default off: on the parking fleet the widened call costs
+    # ~3.5× a single try inside the full solve program, and most iterations
+    # accept within 1-2 tries, so speculation only pays on problems whose
+    # line search backtracks deeply most iterations (measured: phase1 158 ms
+    # sequential vs 211 ms at S=8 — prefer capping
+    # line_search_max_iterations for outlier-driven lockstep waste).
+    line_search_parallel: int = 1
+
     # Capacity of the per-iteration statistics arrays.  The reference grows
     # std::vectors (`solver_stats.cpp:25-29`); under jit we preallocate.
     stats_capacity: int = 304

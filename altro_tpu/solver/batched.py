@@ -865,19 +865,150 @@ class ALSolverBatched:
         )
         return Zb, valid, status
 
+    def _line_search_speculative(self, params, al_pad, Z, bp, J0, S):
+        """Speculative (parallel) backtracking line search.
+
+        The sequential search is lockstep across the batch: the while_loop
+        runs until the SLOWEST instance's α settles, so one instance needing
+        k halvings makes all B instances pay k fused rollout+cost rounds.
+        The fused forward kernel is latency-bound (~2× cost at 8× lanes,
+        measured on v5e), so instead evaluate S candidates α·(1, ½, …,
+        ½^(S-1)) in ONE kernel call at S× lane width and accept the FIRST
+        passing candidate per instance — the same α the sequential halving
+        sequence (`ilqr.hpp:525-545`) would accept, at ~fixed cost per inner
+        iteration.  Rounds repeat (α scaled by ½^S) only if some instance
+        rejects all S candidates.
+
+        Returns the same carry dict as the sequential while_loop in
+        :meth:`forward_pass`.
+        """
+        opts = self.opts
+        dt = Z.X.dtype
+        Bsz = Z.X.shape[-1]
+        N, n, m = self.prob.N, self.prob.n, self.prob.m
+        max_it = opts.line_search_max_iterations
+        inv_f = 1.0 / opts.line_search_decrease_factor
+
+        def tile(leaf):
+            return jnp.tile(leaf, (1,) * (leaf.ndim - 1) + (S,))
+
+        # Candidate-major lane tiling: segment j of the widened batch holds
+        # candidate α_j for every instance.  The base trajectory / gains /
+        # AL state are fixed for the whole line search, so tile them once.
+        Z_s = dataclasses.replace(Z, X=tile(Z.X), U=tile(Z.U))
+        K_s, d_s = tile(bp["K"]), tile(bp["d"])
+        al_pad_s = jax.tree_util.tree_map(tile, al_pad)
+        x0 = params.x0
+        params_s = (
+            params.replace(x0=tile(x0)) if x0.ndim > 1 else params
+        )
+        facs = (inv_f ** jnp.arange(S, dtype=dt))[:, None]  # [S, 1]
+        cand = jnp.arange(S, dtype=jnp.int32)[:, None]  # [S, 1]
+
+        def cond(c):
+            return jnp.any((~c["success"]) & (c["it"] < max_it))
+
+        def body(c):
+            active = (~c["success"]) & (c["it"] < max_it)
+            alphas = c["alpha"][None, :] * facs  # [S, B]
+            Zbar_s, valid_s, status_s, J_s = self._fwd_rollout_cost(
+                params_s, al_pad_s, Z_s, K_s, d_s,
+                alphas.reshape(S * Bsz), opts.check_forwardpass_bounds,
+            )
+            J_c = J_s.reshape(S, Bsz)
+            valid = valid_s.reshape(S, Bsz)
+            status_c = status_s.reshape(S, Bsz)
+            expected = -alphas * (bp["dV1"][None, :] + alphas * bp["dV2"][None, :])
+            z = jnp.where(
+                expected > 0.0, (J0[None, :] - J_c) / expected, -jnp.ones((), dt)
+            )
+            # candidate j is only a real try if the sequential search would
+            # still be within its iteration budget at try it+j
+            tried = (c["it"][None, :] + cand) < max_it
+            ok = (
+                valid
+                & (opts.line_search_lower_bound <= z)
+                & (z <= opts.line_search_upper_bound)
+                & (J_c < J0[None, :])
+                & tried
+            )
+            any_ok = jnp.any(ok, axis=0)
+            first_ok = jnp.argmax(ok, axis=0).astype(jnp.int32)  # first True
+            n_tried = tried.sum(axis=0).astype(jnp.int32)  # [B]
+            last_idx = jnp.maximum(n_tried - 1, 0)
+            sel = jnp.where(any_ok, first_ok, last_idx)  # [B]
+            pick = cand == sel[None, :]  # [S, B]
+
+            def sel_sb(arr, fill):
+                return jnp.where(pick, arr, fill).sum(axis=0)
+
+            J_sel = sel_sb(J_c, 0.0)
+            z_sel = sel_sb(z, 0.0)
+            status_sel = sel_sb(status_c, 0).astype(jnp.int32)
+            alpha_sel = sel_sb(alphas, 0.0)
+            valid_sel = jnp.any(pick & valid, axis=0)
+            pk = pick[None, None]  # for [N?, dim, S, B] selects
+
+            def sel_Z(leaf):
+                r = leaf.reshape(leaf.shape[:-1] + (S, Bsz))
+                return jnp.where(pk, r, 0.0).sum(axis=-2)
+
+            Zbar = dataclasses.replace(
+                Z, X=sel_Z(Zbar_s.X), U=sel_Z(Zbar_s.U)
+            )
+            newc = dict(c)
+            newc["it"] = c["it"] + jnp.where(
+                active, jnp.where(any_ok, first_ok + 1, n_tried), 0
+            )
+            newc["success"] = jnp.where(active, any_ok, c["success"])
+            newc["alpha"] = jnp.where(
+                active,
+                jnp.where(
+                    any_ok,
+                    alpha_sel,
+                    c["alpha"] * inv_f ** n_tried.astype(dt),
+                ),
+                c["alpha"],
+            )
+            newc["J"] = jnp.where(
+                active, jnp.where(valid_sel, J_sel, c["J"]), c["J"]
+            )
+            newc["z"] = jnp.where(active, z_sel, c["z"])
+            newc["status"] = jnp.where(active, status_sel, c["status"])
+            newc["Zbar"] = zselect(active, Zbar, c["Zbar"])
+            return newc
+
+        init = dict(
+            it=jnp.zeros((Bsz,), jnp.int32),
+            alpha=jnp.ones((Bsz,), dt),
+            success=jnp.zeros((Bsz,), bool),
+            J=J0,
+            z=-jnp.ones((Bsz,), dt),
+            status=jnp.full((Bsz,), SolverStatus.UNSOLVED, jnp.int32),
+            Zbar=Z,
+        )
+        return jax.lax.while_loop(cond, body, init)
+
     def forward_pass(self, params, al, Z, bp, J0, rho=None, drho=None, al_pad=None):
         """Per-instance backtracking line search (`ilqr.hpp:512-558`).
 
         `rho`/`drho` are the post-decrease regularization (see the
         per-instance solver); failure increases from there.  `al_pad` is the
         padded AL state for the fused Pallas forward kernel (built once per
-        inner solve by `ilqr_solve`); None selects the XLA scan path.
+        inner solve by `ilqr_solve`); None selects the XLA scan path.  With
+        the Pallas kernel and `line_search_parallel > 1`, candidate step
+        sizes are evaluated speculatively in one widened kernel call (see
+        :meth:`_line_search_speculative`).
         """
         opts = self.opts
         dt = Z.X.dtype
         Bsz = Z.X.shape[-1]
         rho = bp["rho"] if rho is None else rho
         drho = bp["drho"] if drho is None else drho
+        S = int(opts.line_search_parallel)
+        if al_pad is not None and S > 1:
+            c = self._line_search_speculative(params, al_pad, Z, bp, J0, S)
+            return self._forward_finish(c, Z, J0, rho, drho, opts)
 
         def cond(c):
             return jnp.any((~c["success"]) & (c["it"] < opts.line_search_max_iterations))
@@ -926,6 +1057,11 @@ class ALSolverBatched:
             Zbar=Z,
         )
         c = jax.lax.while_loop(cond, body, init)
+        return self._forward_finish(c, Z, J0, rho, drho, opts)
+
+    @staticmethod
+    def _forward_finish(c, Z, J0, rho, drho, opts):
+        """Shared line-search epilogue (accept/reject + reg update)."""
         Z_out = zselect(c["success"], c["Zbar"], Z)
         rho_i, drho_i = _increase_reg(rho, drho, opts)
         rho = jnp.where(c["success"], rho, rho_i)

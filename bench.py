@@ -44,8 +44,16 @@ def main() -> None:
     # 1024 is the minimum width that keeps both Pallas kernels eligible,
     # and capped/re-compacted tail rounds lose more to inner-solve restarts
     # than they save (measured: perf/profile_batch_scaling.py).
+    # line_search_max_iterations=6 (reference knob, default 20,
+    # `solver_options.hpp:40`): the lockstep batch pays the MAX line-search
+    # tries across all 4096 lanes each iteration, and a handful of outlier
+    # instances otherwise drag everyone through 11-18 rollouts (measured
+    # per-iteration alpha history).  Capping at 6 falls those outliers back
+    # to the regularization schedule instead — same solved count, same
+    # canonical parity, ~20% wall saved (measured sweep: perf/sweep_tuning).
     opts = SolverOptions(
-        backward_pass="pallas", forward_pass="pallas", scan_unroll=4
+        backward_pass="pallas", forward_pass="pallas", scan_unroll=4,
+        line_search_max_iterations=6,
     )
     solver = CompactedALSolver(
         prob, opts, phase1_iters=14, tail_batch=min(1024, batch)

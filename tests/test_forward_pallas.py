@@ -244,3 +244,72 @@ def test_ineligible_problems_return_none():
     p2.set_cost(generic, 0)
     kern2 = build_forward_kernel(p2.compile(), SolverOptions(), interpret=True)
     assert kern2 is None
+
+
+def _solve_with_spec_width(S, dtype=jnp.float64, N=12, seed=11):
+    defn = UnicycleProblem(dtype=dtype)
+    defn.N = N
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    opts = SolverOptions(forward_pass="pallas", line_search_parallel=S)
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (3, TILE)), dtype)
+    params = prob.params.replace(x0=x0s)
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (TILE,) + l.shape), Z0
+        )
+    )
+    solver = ALSolverBatched(prob, opts)
+    solver._fwd = build_forward_kernel(prob, opts, interpret=True, dtype=dtype)
+    assert solver._fwd is not None
+    return solver.solve(params, Zb)
+
+
+def test_speculative_line_search_matches_sequential():
+    """S candidate step sizes evaluated in one widened kernel call accept
+    exactly the α the sequential halving sequence would — statuses,
+    iteration counts, final α, and trajectories are identical."""
+    res_seq = _solve_with_spec_width(1)
+    res_spec = _solve_with_spec_width(8)
+    np.testing.assert_array_equal(
+        np.asarray(res_spec["status"]), np.asarray(res_seq["status"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_spec["stats"].iterations_total),
+        np.asarray(res_seq["stats"].iterations_total),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_spec["stats"].alpha), np.asarray(res_seq["stats"].alpha)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_spec["Z"].U), np.asarray(res_seq["Z"].U),
+        rtol=1e-12, atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_spec["stats"].cost), np.asarray(res_seq["stats"].cost),
+        rtol=1e-12, atol=1e-14,
+    )
+
+
+def test_speculative_width_smaller_than_backtrack_depth():
+    """S=2 forces multi-round speculation on instances that backtrack more
+    than twice; the round-boundary α/iteration bookkeeping must still match
+    the sequential sequence exactly."""
+    res_seq = _solve_with_spec_width(1, seed=3)
+    res_spec = _solve_with_spec_width(2, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(res_spec["status"]), np.asarray(res_seq["status"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_spec["stats"].iterations_total),
+        np.asarray(res_seq["stats"].iterations_total),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_spec["stats"].alpha), np.asarray(res_seq["stats"].alpha)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_spec["Z"].U), np.asarray(res_seq["Z"].U),
+        rtol=1e-12, atol=1e-14,
+    )
