@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..options import SolverOptions
 from ..problem.problem import CompiledProblem, ProblemParams
 from ..solver.al import ALSolver
-from ..types import Trajectory
+from ..types import SolverStatus, Trajectory
 from .batch import params_axes
 
 
@@ -83,18 +83,26 @@ class ShardedALSolver:
 
             def local_stats(viol, status):
                 v = jnp.max(viol)
-                solved = jnp.sum((status == 0).astype(jnp.int32))
+                solved = jnp.sum(
+                    (status == jnp.int32(SolverStatus.SOLVED)).astype(jnp.int32)
+                )
+                stalled = jnp.sum(
+                    (status == jnp.int32(SolverStatus.SOLVED_STALLED)).astype(
+                        jnp.int32
+                    )
+                )
                 v = jax.lax.pmax(v, axis)
                 solved = jax.lax.psum(solved, axis)
-                return v[None], solved[None]
+                stalled = jax.lax.psum(stalled, axis)
+                return v[None], solved[None], stalled[None]
 
-            viol_max, num_solved = shard_map(
+            viol_max, num_solved, num_stalled = shard_map(
                 local_stats,
                 mesh=mesh,
                 in_specs=(P(axis), P(axis)),
-                out_specs=(P(), P()),
+                out_specs=(P(), P(), P()),
             )(res.stats.violations, res.status)
-            return res, viol_max[0], num_solved[0]
+            return res, viol_max[0], num_solved[0], num_stalled[0]
 
         self._solve = jax.jit(
             solve_and_reduce,
@@ -113,5 +121,11 @@ class ShardedALSolver:
         return jax.device_put(tree, self.batch_sharding)
 
     def solve(self, params: ProblemParams, Z: Trajectory):
-        """Solve the sharded batch; returns (results, max_violation, n_solved)."""
+        """Solve the sharded batch.
+
+        Returns ``(results, max_violation, n_solved, n_stalled)`` —
+        ``n_solved`` counts `SolverStatus.SOLVED` only; stall exits
+        (`SolverStatus.SOLVED_STALLED`) are reported separately so fleet
+        statistics can't silently absorb non-convergence.
+        """
         return self._solve(params, Z)

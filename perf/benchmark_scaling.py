@@ -81,10 +81,10 @@ def mesh_scaling():
         Zb = solver.shard_batch(
             jax.tree_util.tree_map(lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0)
         )
-        res, viol, nsolved = solver.solve(params, Zb)
+        res, viol, nsolved, nstalled = solver.solve(params, Zb)
         jax.block_until_ready(res.Z.U)
         t0 = time.perf_counter()
-        res, viol, nsolved = solver.solve(params, Zb)
+        res, viol, nsolved, nstalled = solver.solve(params, Zb)
         jax.block_until_ready(res.Z.U)
         dt = time.perf_counter() - t0
         rate = B / dt

@@ -64,7 +64,7 @@ def gmake(np_arr):
 params = prob.params.replace(x0=gmake(x0s))
 Zb = jax.tree_util.tree_map(gmake, Zb_np)
 
-res, viol_max, num_solved = solver.solve(params, Zb)
+res, viol_max, num_solved, num_stalled = solver.solve(params, Zb)
 num_solved = int(num_solved)
 viol_max = float(viol_max)
 assert num_solved == B, f"solved {num_solved}/{B}"

@@ -11,7 +11,7 @@ from contextlib import redirect_stdout
 import jax.numpy as jnp
 import numpy as np
 
-from altro_tpu import ALSolver, LogLevel, SolverOptions
+from altro_tpu import ALSolver, LogLevel, SolverOptions, SolverStatus
 from altro_tpu.models.problems import UnicycleProblem
 from altro_tpu.utils.benchmarking import benchmark
 from altro_tpu.utils.checkpoint import load_pytree, save_pytree
@@ -83,7 +83,7 @@ def test_checkpoint_roundtrip(tmp_path):
     # the same optimum (a re-solve re-runs the AL loop, so equality is to
     # solver tolerance, not bitwise)
     res2 = solver.solve(prob.params, Z2, al2)
-    assert int(res2.status) == 0
+    assert int(res2.status) == int(SolverStatus.SOLVED)
     np.testing.assert_allclose(res2.Z.U, res.Z.U, atol=1e-4)
     assert int(res2.stats.iterations_total) <= int(res.stats.iterations_total)
 

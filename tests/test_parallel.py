@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from altro_tpu import ALSolver, ILQRSolver, ProblemParams, SolverOptions
+from altro_tpu import ALSolver, ILQRSolver, ProblemParams, SolverOptions, SolverStatus
 from altro_tpu.models.problems import UnicycleProblem
 from altro_tpu.parallel.mesh import ShardedALSolver, make_mesh
 from altro_tpu.solver import pscan, riccati
@@ -47,11 +47,16 @@ def test_sharded_batch_solve_matches_single_device(mesh8):
     # sharded over the mesh
     solver = ShardedALSolver(prob, mesh8, opts)
     params_b = prob.params.replace(x0=solver.shard_batch(x0s))
-    res, viol_max, n_solved = solver.solve(params_b, solver.shard_batch(Zb))
+    res, viol_max, n_solved, n_stalled = solver.solve(params_b, solver.shard_batch(Zb))
 
     np.testing.assert_array_equal(np.asarray(res.status), np.asarray(res_ref.status))
     np.testing.assert_allclose(res.Z.U, res_ref.Z.U, rtol=1e-8, atol=1e-10)
-    assert int(n_solved) == int(np.sum(np.asarray(res_ref.status) == 0))
+    assert int(n_solved) == int(
+        np.sum(np.asarray(res_ref.status) == int(SolverStatus.SOLVED))
+    )
+    assert int(n_stalled) == int(
+        np.sum(np.asarray(res_ref.status) == int(SolverStatus.SOLVED_STALLED))
+    )
     np.testing.assert_allclose(
         float(viol_max), float(np.max(np.asarray(res_ref.stats.violations))), rtol=1e-9
     )
