@@ -97,7 +97,10 @@ class UnicycleProblem:
             )
             prob.set_constraint(obs, range(1, N))  # `unicycle.cpp:54-58`
         if add_constraints:
-            prob.set_constraint(control_bound(self.lb, self.ub), range(N))
+            prob.set_constraint(
+                control_bound(jnp.asarray(self.lb, dt), jnp.asarray(self.ub, dt)),
+                range(N),
+            )
             prob.set_constraint(goal_constraint(jnp.asarray(self.xf, dt)), N)
         prob.set_initial_state(jnp.asarray(self.x0, dt))
         return prob
@@ -148,7 +151,12 @@ class TripleIntegratorProblem:
         prob.set_cost(term, N)
         prob.set_dynamics(triple_integrator_rk4(self.dof), range(N))
         if add_constraints:
-            prob.set_constraint(control_bound(-self.ubnd, self.ubnd), range(N))
+            prob.set_constraint(
+                control_bound(
+                    jnp.asarray(-self.ubnd, dt), jnp.asarray(self.ubnd, dt)
+                ),
+                range(N),
+            )
             prob.set_constraint(goal_constraint(jnp.asarray(self.xf, dt)), N)
         prob.set_initial_state(jnp.asarray(self.x0, dt))
         return prob

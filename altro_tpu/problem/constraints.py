@@ -196,6 +196,9 @@ def control_bound(lb, ub) -> Constraint:
     Only finite bounds produce rows, lower bounds first then upper, matching
     the reference's output ordering (`basic_constraints.hpp:94-110`).
     """
+    dtype = jnp.promote_types(
+        jnp.asarray(lb).dtype, jnp.asarray(ub).dtype
+    )
     lb_np = np.asarray(lb, dtype=np.float64)
     ub_np = np.asarray(ub, dtype=np.float64)
     if lb_np.shape != ub_np.shape:
@@ -216,9 +219,11 @@ def control_bound(lb, ub) -> Constraint:
         upper = u[hi_arr] - params["ub"][hi_arr]
         return jnp.concatenate([lower, upper])
 
+    # params keep the caller's dtype (an f32 problem must not promote the
+    # whole AL state to f64 when x64 is enabled)
     params = {
-        "lb": jnp.asarray(np.where(np.isfinite(lb_np), lb_np, 0.0)),
-        "ub": jnp.asarray(np.where(np.isfinite(ub_np), ub_np, 0.0)),
+        "lb": jnp.asarray(np.where(np.isfinite(lb_np), lb_np, 0.0), dtype),
+        "ub": jnp.asarray(np.where(np.isfinite(ub_np), ub_np, 0.0), dtype),
     }
     return Constraint(
         params=params, fn=eval_fn, cone=INEQUALITY, dim=dim,

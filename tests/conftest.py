@@ -8,17 +8,24 @@ via jax.config before any backend initializes.
 """
 import os
 
+# ALTRO_TPU_TESTS=1 leaves the real backend in place so the tpu-marked
+# modules (tests/test_tpu_compiled.py) can exercise the compiled kernels:
+#   ALTRO_TPU_TESTS=1 python -m pytest tests/test_tpu_compiled.py -q
+_TPU_MODE = os.environ.get("ALTRO_TPU_TESTS", "") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_MODE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
@@ -26,3 +33,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the process's accumulated XLA state.
+
+    The suite compiles several hundred programs, some large (B=1024
+    interpret-mode Pallas solves); without clearing, the single-process run
+    aborts inside XLA's CPU compiler near the end of the suite (SIGABRT in
+    backend_compile_and_load, observed r3).  Dropping compiled executables
+    between modules keeps peak memory flat; modules re-compile what they
+    share (cached fixtures within a module are unaffected).
+    """
+    yield
+    jax.clear_caches()
