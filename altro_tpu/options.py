@@ -98,9 +98,13 @@ class SolverOptions:
     scan_unroll: int = 1
 
     # Backward-pass kernel selection: "scan" (sequential Riccati recursion,
-    # the parity oracle) or "pscan" (associative-scan parallel Riccati,
-    # arXiv:1809.06360) — TPU-native replacement for the reference's strictly
-    # sequential loop (`ilqr/ilqr.hpp:402-441`).
+    # the parity oracle), "pallas" (fused VMEM-resident Riccati kernel,
+    # `ops/riccati_pallas.py`), "fused" (expansions computed INSIDE the
+    # Riccati kernel — no materialized [N,·,·,B] expansion tensors, J0 for
+    # free; `ops/backward_fused_pallas.py`, falls back to "pallas" behavior
+    # on ineligible problems), or "pscan" (associative-scan parallel
+    # Riccati, arXiv:1809.06360) — TPU-native replacements for the
+    # reference's strictly sequential loop (`ilqr/ilqr.hpp:402-441`).
     backward_pass: str = "scan"
 
     # Forward-pass kernel selection for the batch-native solver: "scan"

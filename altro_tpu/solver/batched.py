@@ -133,6 +133,55 @@ def bwhere(mask, a, b):
     return jnp.where(mask, a, b)
 
 
+def soc_project_bl(s):
+    """Lorentz-cone projection, batch-last: s [nk, p, B] with the cone scalar
+    in row p-1 (`constraints._soc_project` is the per-instance form)."""
+    v = s[:, :-1, :]
+    t = s[:, -1, :]
+    a = jnp.sqrt(jnp.sum(v * v, axis=1))  # [nk, B]
+    eps = jnp.asarray(jnp.finfo(s.dtype).tiny, s.dtype)
+    inside = a <= t
+    polar = a <= -t
+    scale = 0.5 * (1.0 + t / jnp.maximum(a, eps))
+    proj = jnp.concatenate(
+        [scale[:, None, :] * v, (0.5 * (a + t))[:, None, :]], axis=1
+    )
+    return jnp.where(
+        inside[:, None, :], s, jnp.where(polar[:, None, :], 0.0, proj)
+    )
+
+
+def soc_jacobian_bl(s):
+    """Projection Jacobian of the Lorentz cone, batch-last: [nk, p, p, B]
+    (`constraints.cone_jacobian` is the per-instance form)."""
+    nk, p, Bsz = s.shape
+    dt = s.dtype
+    v = s[:, :-1, :]
+    t = s[:, -1, :]
+    a = jnp.sqrt(jnp.sum(v * v, axis=1))
+    eps = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    a_s = jnp.maximum(a, eps)
+    inside = a <= t
+    polar = a <= -t
+    c = 0.5 + t / (2.0 * a_s)
+    vv = v[:, :, None, :] * v[:, None, :, :]  # [nk, p-1, p-1, B]
+    eye_v = jnp.eye(p - 1, dtype=dt)[None, :, :, None]
+    dPv_dv = c[:, None, None, :] * eye_v - (t / (2.0 * a_s**3))[
+        :, None, None, :
+    ] * vv
+    dPv_dt = v / (2.0 * a_s[:, None, :])  # [nk, p-1, B]
+    top = jnp.concatenate([dPv_dv, dPv_dt[:, :, None, :]], axis=2)
+    half = jnp.full((nk, 1, 1, Bsz), 0.5, dt)
+    bot = jnp.concatenate([dPv_dt[:, None, :, :], half], axis=2)
+    J = jnp.concatenate([top, bot], axis=1)  # [nk, p, p, B]
+    eye_p = jnp.eye(p, dtype=dt)[None, :, :, None]
+    return jnp.where(
+        inside[:, None, None, :],
+        eye_p,
+        jnp.where(polar[:, None, None, :], jnp.zeros((), dt), J),
+    )
+
+
 def batch_axes(canon, actual):
     """Per-leaf vmap axis spec for possibly per-instance problem params.
 
@@ -235,19 +284,22 @@ def batched_stats_column(stats: BatchedStats, name: str) -> jax.Array:
 
 def _record_history(stats: BatchedStats, active) -> BatchedStats:
     """Write the current column values into each active instance's row
-    `iterations_total-1` (call after the per-iteration stats update)."""
+    `iterations_total-1` (call after the per-iteration stats update).
+
+    Written as a batch-last one-hot masked select, NOT advanced indexing:
+    `rows[idx, :, lanes]` gathers/scatters into a batch-LEADING [B, 8]
+    layout, and the transposes of the [cap, 8, B] buffer it induces cost
+    ~40% of the whole solve at B=4096 (measured on v5e, r3)."""
     cap = stats.rows.shape[0]
     if cap == 0:
         return stats
-    Bsz = stats.rows.shape[-1]
     vals = jnp.stack(
         [getattr(stats, name) for name in _HISTORY_COLUMNS], axis=0
     )  # [8, B]
-    idx = jnp.clip(stats.iterations_total - 1, 0, cap - 1)
-    lanes = jnp.arange(Bsz)
-    old = stats.rows[idx, :, lanes]  # [B, 8]
-    new = jnp.where(active[:, None], jnp.swapaxes(vals, 0, 1), old)
-    return stats.replace(rows=stats.rows.at[idx, :, lanes].set(new))
+    idx = jnp.clip(stats.iterations_total - 1, 0, cap - 1)  # [B]
+    r = jnp.arange(cap)[:, None, None]  # [cap, 1, 1]
+    write = (r == idx[None, None, :]) & active[None, None, :]
+    return stats.replace(rows=jnp.where(write, vals[None], stats.rows))
 
 
 @pytree_dataclass
@@ -293,11 +345,13 @@ class ALSolverBatched:
     its canonical shape (goal refs [n] → [n, B], obstacle layouts
     [n_obs] → [n_obs, B], masses () → [B]; see `batch_axes`) — the batched
     replacement for the reference's loop over distinct problem objects
-    (`perf/benchmark_unicycle.cpp:45-75`).  Remaining restrictions vs the
+    (`perf/benchmark_unicycle.cpp:45-75`).  Every reference cone plus the
+    SOC extension is handled (the cone algebra lives in `_al_terms` /
+    `soc_project_bl` / `soc_jacobian_bl`, mirroring the reference's uniform
+    cone handling, `constraint.hpp:28-122`).  Remaining restriction vs the
     general solver (satisfied by the shipped problem families): a single
-    dynamics family with knot-shared params built by `discretize()`, and no
-    second-order cones (use the vmap-based `parallel.batch.BatchedALSolver`
-    for those).  Per-instance params disable the fused forward Pallas kernel
+    dynamics family with knot-shared params built by `discretize()`.
+    Per-instance params disable the fused forward Pallas kernel
     (its SMEM param streaming is built for shared shapes) but keep the full
     batch-last scan path.
     """
@@ -314,28 +368,101 @@ class ALSolverBatched:
             raise NotImplementedError(
                 "batched solver requires shared dynamics params"
             )
-        for cf in prob.constraint_families:
-            if cf.cone is Cone.SECOND_ORDER:
-                raise NotImplementedError(
-                    "second-order cones: use the general ALSolver path"
-                )
         self._dyn = fam
+        # Pallas kernels compile for the TPU; off-TPU (CPU tests/CI) the
+        # same kernels run in interpret mode so the exact shipped kernel
+        # configuration is executable everywhere.
+        self._interpret = jax.default_backend() != "tpu"
         self._fwd = None
         if self.opts.forward_pass == "pallas":
             from ..ops.forward_pallas import build_forward_kernel
 
-            self._fwd = build_forward_kernel(prob, self.opts)
+            self._fwd = build_forward_kernel(
+                prob, self.opts, interpret=self._interpret
+            )
+        self._bwd = None
+        if self.opts.backward_pass == "fused":
+            from ..ops.backward_fused_pallas import build_backward_fused_kernel
+
+            self._bwd = build_backward_fused_kernel(
+                prob, self.opts, interpret=self._interpret
+            )
+        # Live fleet observability (`solver_logger.cpp:47-54` analog): at
+        # verbose >= OUTER the outer loop emits one summary row per lockstep
+        # outer iteration via jax.debug.callback (works under jit); at
+        # INNER every lockstep inner iteration logs too.  SILENT (default)
+        # adds nothing to the traced program.
+        self._logger = None
+        if self.opts.verbose > 0:
+            from ..utils.logging import SolverLogger
+
+            self._logger = SolverLogger(
+                self.opts.verbose,
+                frequency=self.opts.header_frequency,
+                fleet=True,
+            )
         if self.opts.matmul_precision:
             self.solve = with_matmul_precision(self.opts.matmul_precision)(
                 self.solve
             )
 
-    def _use_fwd(self, params: ProblemParams, Z: BatchedTrajectory) -> bool:
+    # ------------------------------------------------------ live observability
+    def _live_inner_row(self, iters, active, cost_med, dJ_med, alpha_med, grad_med):
+        lg = self._logger
+        lg.log("iters", int(iters))
+        lg.log("active", int(active))
+        lg.log("cost_med", float(cost_med))
+        lg.log("dJ_med", float(dJ_med))
+        lg.log("alpha_med", float(alpha_med))
+        lg.log("grad_med", float(grad_med))
+        lg.print_row()
+
+    def _live_outer_row(self, iter_al, iters, active, solved, viol, pen, grad):
+        lg = self._logger
+        lg.log("iter_al", int(iter_al))
+        lg.log("iters", int(iters))
+        lg.log("active", int(active))
+        lg.log("solved", int(solved))
+        lg.log("viol_max", float(viol))
+        lg.log("pen_max", float(pen))
+        lg.log("grad_med", float(grad))
+        lg.print_row()
+
+    def _emit_inner_row(self, active, stats: BatchedStats):
+        if self._logger is None or not self._logger.active("cost_med"):
+            return
+        jax.debug.callback(
+            self._live_inner_row,
+            jnp.max(stats.iterations_total),
+            jnp.sum(active),
+            jnp.median(stats.cost),
+            jnp.median(stats.cost_decrease),
+            jnp.median(stats.alpha),
+            jnp.median(stats.gradient),
+            ordered=True,
+        )
+
+    def _emit_outer_row(self, active, status, stats: BatchedStats):
+        if self._logger is None:
+            return
+        jax.debug.callback(
+            self._live_outer_row,
+            jnp.max(stats.iterations_outer),
+            jnp.max(stats.iterations_total),
+            jnp.sum(active),
+            jnp.sum(status == jnp.int32(SolverStatus.SOLVED)),
+            jnp.max(stats.violations),
+            jnp.max(stats.max_penalty),
+            jnp.median(stats.gradient),
+            ordered=True,
+        )
+
+    def _use_kernel(self, kern, params: ProblemParams, Z: BatchedTrajectory) -> bool:
         canon = self.prob.params
         return (
-            self._fwd is not None
-            and Z.X.dtype == self._fwd.dtype
-            and Z.X.shape[-1] % self._fwd.tile == 0
+            kern is not None
+            and Z.X.dtype == kern.dtype
+            and Z.X.shape[-1] % kern.tile == 0
             # the kernel streams problem params through SMEM at build-time
             # shapes: per-instance (trailing-batch) cost/constraint/dynamics
             # params fall back to the XLA scans (x0 may vary freely)
@@ -344,6 +471,9 @@ class ALSolverBatched:
                 (params.dynamics, params.costs, params.constraints),
             )
         )
+
+    def _use_fwd(self, params: ProblemParams, Z: BatchedTrajectory) -> bool:
+        return self._use_kernel(self._fwd, params, Z)
 
     def _fwd_rollout_cost(self, params, al_pad, Z, K, d, alpha, check_bounds):
         """Fused rollout + cost; returns (Zbar, valid, status, J)."""
@@ -581,12 +711,15 @@ class ALSolverBatched:
         """
         dual = dual_cone(fam.cone)
         s = lam - rho[:, None, :] * c
+        dproj = None
         if dual is Cone.ZERO:
             lam_proj = jnp.zeros_like(s)
             dproj = jnp.zeros_like(s)
         elif dual is Cone.IDENTITY:
             lam_proj = s
             dproj = jnp.ones_like(s)
+        elif dual is Cone.SECOND_ORDER:
+            lam_proj = soc_project_bl(s)
         else:
             lam_proj = jnp.minimum(s, 0.0)
             dproj = jnp.where(s > 0, 0.0, 1.0).astype(s.dtype)
@@ -595,8 +728,13 @@ class ALSolverBatched:
         )
         if not want_expansion:
             return J, None
-        Jpx = dproj[:, :, None, :] * Cx
-        Jpu = dproj[:, :, None, :] * Cu
+        if dproj is not None:  # diagonal projection Jacobian
+            Jpx = dproj[:, :, None, :] * Cx
+            Jpu = dproj[:, :, None, :] * Cu
+        else:  # SOC: dense p×p projection Jacobian (`cone_jacobian`)
+            Jp = soc_jacobian_bl(s)
+            Jpx = mm(Jp, Cx)
+            Jpu = mm(Jp, Cu)
         # contractions over the small p axis as broadcast-multiply-reduce
         # (see mm() for why not einsum)
         gx = -(lam_proj[:, :, None, :] * Jpx).sum(axis=1)
@@ -742,21 +880,67 @@ class ALSolverBatched:
         )
         return K, d, dV1, dV2, failed
 
+    def backward_pass_fused(self, params, al_pad, Z, rho, drho):
+        """Backward pass via the fused expansion+Riccati kernel
+        (`ops/backward_fused_pallas.py`): no materialized expansions, and
+        the trajectory's AL cost J0 comes out of the same pass.  Same
+        retry-with-regularization semantics as :meth:`backward_pass`."""
+        opts = self.opts
+        N, n, m = self.prob.N, self.prob.n, self.prob.m
+        Bsz = Z.X.shape[-1]
+        dt = Z.X.dtype
+
+        def cond(c):
+            return ~jnp.all(c["done"])
+
+        def body(c):
+            K, d, dV1, dV2, failed, J0 = self._bwd(params, al_pad, Z, c["rho"])
+            rho2, drho2 = _increase_reg(c["rho"], c["drho"], opts)
+            rho_n = bwhere(failed, rho2, c["rho"])
+            drho_n = bwhere(failed, drho2, c["drho"])
+            count = c["count"] + jnp.where(
+                failed & (rho_n >= opts.bp_reg_max), 1, 0
+            )
+            give_up = failed & (count >= opts.bp_reg_fail_threshold)
+            done = (~failed) | give_up
+            return dict(
+                K=K, d=d, dV1=dV1, dV2=dV2, failed=failed, J0=J0,
+                rho=rho_n, drho=drho_n, count=count, done=done,
+            )
+
+        init = dict(
+            K=jnp.zeros((N, m, n, Bsz), dt),
+            d=jnp.zeros((N, m, Bsz), dt),
+            dV1=jnp.zeros((Bsz,), dt),
+            dV2=jnp.zeros((Bsz,), dt),
+            failed=jnp.ones((Bsz,), bool),
+            J0=jnp.zeros((Bsz,), dt),
+            rho=rho, drho=drho,
+            count=jnp.zeros((Bsz,), jnp.int32),
+            done=jnp.zeros((Bsz,), bool),
+        )
+        return jax.lax.while_loop(cond, body, init)
+
     def backward_pass(self, exp, rho, drho):
         """Retry loop with per-instance regularization (`ilqr.hpp:385-445`).
 
         The sweep kernel is selected by `opts.backward_pass`: "scan" (XLA
         lax.scan), "pallas" (fused VMEM-resident kernel,
-        `ops/riccati_pallas.py`; requires batch % 1024 == 0), or "pscan"
+        `ops/riccati_pallas.py`; requires batch % 1024 == 0), "fused"
+        (expansions computed inside the sweep,
+        `ops/backward_fused_pallas.py` — selected in :meth:`ilqr_solve`;
+        this method is its ineligible-problem fallback), or "pscan"
         (associative-scan parallel Riccati in batch-last layout,
         `solver/pscan_batched.py`; O(log N) depth for long horizons).
         """
         opts = self.opts
-        if opts.backward_pass == "pallas":
+        if opts.backward_pass in ("pallas", "fused"):
             from ..ops.riccati_pallas import TILE, riccati_pallas
 
             if exp["A"].shape[-1] % TILE == 0:
-                sweep = lambda e, r: riccati_pallas(e, r)
+                sweep = lambda e, r: riccati_pallas(
+                    e, r, interpret=self._interpret
+                )
             else:
                 sweep = self.riccati_scan
         elif opts.backward_pass == "pscan":
@@ -1083,9 +1267,13 @@ class ALSolverBatched:
         Bsz = Z.X.shape[-1]
         N, n, m = self.prob.N, self.prob.n, self.prob.m
 
+        use_bwd_fused = self._use_kernel(self._bwd, params, Z)
         al_pad = None
+        al_pad_bwd = None
+        if use_bwd_fused:
+            al_pad_bwd = self._bwd.pad_al(al)
         if self._use_fwd(params, Z):
-            al_pad = self._fwd.pad_al(al)
+            al_pad = self._fwd.pad_al(al) if al_pad_bwd is None else al_pad_bwd
             zK = jnp.zeros((N, m, n, Bsz), dt)
             zd = jnp.zeros((N, m, Bsz), dt)
             # K=d=α=0 makes the fused kernel the open-loop rollout + cost
@@ -1109,9 +1297,17 @@ class ALSolverBatched:
         def body(c):
             active = ~c["done"]
             stats: BatchedStats = c["stats"]
-            exp = self.expand(params, al, c["Z"])
-            J0 = exp["costs"].sum(axis=0)
-            bp = self.backward_pass(exp, c["rho"], c["drho"])
+            if use_bwd_fused:
+                # expansions computed inside the sweep; J0 falls out of the
+                # same kernel's Kahan cost accumulation
+                bp = self.backward_pass_fused(
+                    params, al_pad_bwd, c["Z"], c["rho"], c["drho"]
+                )
+                J0 = bp["J0"]
+            else:
+                exp = self.expand(params, al, c["Z"])
+                J0 = exp["costs"].sum(axis=0)
+                bp = self.backward_pass(exp, c["rho"], c["drho"])
             rho_d, drho_d = _decrease_reg(bp["rho"], bp["drho"], opts)
             fp = self.forward_pass(
                 params, al, c["Z"], bp, J0, rho_d, drho_d, al_pad
@@ -1174,6 +1370,7 @@ class ALSolverBatched:
                 regularization=jnp.where(active, bp["rho"], stats.regularization),
             )
             stats = _record_history(stats, active)
+            self._emit_inner_row(active, stats)
             out = dict(
                 Z=zselect(active, fp["Z"], c["Z"]),
                 rho=jnp.where(active, fp["rho"], c["rho"]),
@@ -1233,6 +1430,8 @@ class ALSolverBatched:
                 v = jnp.abs(c)
             elif fam.cone is Cone.NEGATIVE_ORTHANT:
                 v = jnp.maximum(c, 0.0)
+            elif fam.cone is Cone.SECOND_ORDER:
+                v = jnp.abs(c - soc_project_bl(c))
             else:  # IDENTITY: whole space, never violated
                 continue
             viol = jnp.maximum(viol, v.max(axis=(0, 1)))
@@ -1303,6 +1502,8 @@ class ALSolverBatched:
                     lam = s
                 elif dual is Cone.ZERO:
                     lam = jnp.zeros_like(s)
+                elif dual is Cone.SECOND_ORDER:
+                    lam = soc_project_bl(s)
                 else:
                     lam = jnp.minimum(s, 0.0)
                 lam = bwhere(upd, lam, st["lam"])
@@ -1348,6 +1549,9 @@ class ALSolverBatched:
                 ),
             )
             done_new = (~inner_ok) | sat | pen_hi | outer_hi | total_hi
+            self._emit_outer_row(
+                active & ~done_new, jnp.where(active, status, c["status"]), stats
+            )
             # scale penalties only for continuing instances
             cont = active & ~done_new
             al_next = tuple(

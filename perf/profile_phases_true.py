@@ -131,6 +131,49 @@ def main():
         )
         return Zf
 
+    if bwd_mode == "fused":
+        # expansion + backward are one kernel; profile it as a single phase
+        al_pad_bwd = s._bwd.pad_al(al)
+
+        @jax.jit
+        def loop_fused_backward(Z):
+            def body(i, carry):
+                Z, rho, drho = carry
+                bp = s.backward_pass_fused(params, al_pad_bwd, Z, rho, drho)
+                dX = eps * bp["K"][:, 0]
+                Z2 = dataclasses.replace(Z, X=Z.X.at[:-1].add(dX))
+                return (Z2, bp["rho"], bp["drho"])
+
+            Zf, _, _ = jax.lax.fori_loop(
+                0, LOOPS, body,
+                (Z, jnp.zeros((B,), dtype), jnp.zeros((B,), dtype)),
+            )
+            return Zf
+
+        @jax.jit
+        def loop_fused_full(Z):
+            def body(i, carry):
+                Z, rho, drho = carry
+                bp = s.backward_pass_fused(params, al_pad_bwd, Z, rho, drho)
+                fp = s.forward_pass(
+                    params, al, Z, bp, bp["J0"], al_pad=al_pad
+                )
+                return (fp["Z"], fp["rho"], fp["drho"])
+
+            Zf, _, _ = jax.lax.fori_loop(
+                0, LOOPS, body,
+                (Z, jnp.zeros((B,), dtype), jnp.zeros((B,), dtype)),
+            )
+            return Zf
+
+        t_eb = timed_calls(loop_fused_backward, inputs) / LOOPS
+        t_full = timed_calls(loop_fused_full, inputs) / LOOPS
+        print(f"B={B} fwd={fwd_mode} bwd={bwd_mode}  (per inner iteration, ms)")
+        print(f"  expand+backward (fused kernel): {t_eb*1e3:8.3f}")
+        print(f"  forward  (marginal):            {(t_full-t_eb)*1e3:8.3f}")
+        print(f"  full iteration:                 {t_full*1e3:8.3f}")
+        return
+
     t_e = timed_calls(loop_expand, inputs) / LOOPS
     t_eb = timed_calls(loop_expand_backward, inputs) / LOOPS
     t_full = timed_calls(loop_full_iteration, inputs) / LOOPS
