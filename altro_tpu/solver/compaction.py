@@ -30,7 +30,13 @@ from ..problem.problem import CompiledProblem
 from ..types import SolverStatus
 from .batched import ALSolverBatched, BatchedTrajectory
 
-# statuses that mean "ran out of budget, still making progress"
+# statuses that mean "ran out of a PHASE budget, still making progress" —
+# only meaningful after a capped phase.  After an UNCAPPED tail round the
+# instance already received the reference's own full iteration budget
+# (`solver_options.hpp:23-25`), so the same codes are terminal there, exactly
+# as a non-solved inner status aborts the reference's outer loop
+# (`al_solver.hpp:378-381`); resuming would livelock on genuinely
+# non-converging instances (each round burning max_iterations_inner again).
 _RESUMABLE = (
     SolverStatus.MAX_ITERATIONS,
     SolverStatus.MAX_INNER_ITERATIONS,
@@ -229,6 +235,11 @@ class CompactedALSolver:
             jax.block_until_ready(res["status"])
             status = np.asarray(res["status"])
             undone = np.isin(status, np.asarray(_RESUMABLE, status.dtype))
+            if self.tail_iters == 0:
+                # every straggler just ran an UNCAPPED round (the full
+                # reference iteration budget): budget-exhaustion statuses
+                # are terminal, see _RESUMABLE note above
+                undone &= False
             tel["tail_rounds"].append(
                 {
                     "stragglers": n_stragglers,

@@ -88,6 +88,17 @@ def _vmap_family(fam, fam_params, fn, X, U, extra=()):
     return jax.vmap(lambda p, x, u: fn(p, x, u, *extra))(fam_params, xk, uk)
 
 
+
+def _knot_row(fam, knot: int) -> int:
+    """Row of knot `knot` within a family's stacked [nk, ...] arrays."""
+    rows = np.flatnonzero(np.asarray(fam.knots) == int(knot))
+    if rows.size == 0:
+        raise IndexError(
+            f"constraint {fam.label!r} has no knot {int(knot)} "
+            f"(knots {np.asarray(fam.knots).tolist()[:5]}...)"
+        )
+    return int(rows[0])
+
 class ProblemFunctions:
     """Pure batched functions for one compiled problem + options.
 
@@ -114,11 +125,69 @@ class ProblemFunctions:
             )
         return tuple(out)
 
-    def set_penalty(self, al: ALState, rho: float) -> ALState:
-        """Uniform penalty for all constraints (`al_solver.hpp:272-277`)."""
-        return tuple(
-            s.replace(rho=jnp.full_like(s.rho, rho)) for s in al
-        )
+    def _family_index(self, family) -> int:
+        """Resolve a constraint family by index or label."""
+        fams = self.prob.constraint_families
+        if isinstance(family, str):
+            matches = [i for i, f in enumerate(fams) if f.label == family]
+            if not matches:
+                raise KeyError(
+                    f"no constraint family labeled {family!r}; have "
+                    f"{[f.label for f in fams]}"
+                )
+            if len(matches) > 1:
+                raise KeyError(f"label {family!r} is ambiguous: {matches}")
+            return matches[0]
+        i = int(family)
+        if not 0 <= i < len(fams):
+            raise IndexError(
+                f"constraint family index {i} out of range [0, {len(fams)})"
+            )
+        return i
+
+    def set_penalty(
+        self, al: ALState, rho: float, family=None, knot=None
+    ) -> ALState:
+        """Set penalties (`al_solver.hpp:272-277`; per-constraint get/set
+        `al_cost.hpp:171-231`).
+
+        `family=None` sets every constraint (the reference's
+        `SetPenalty(rho)`); a family index or label restricts to one
+        constraint family, and `knot` further restricts to a single knot
+        point of that family.
+        """
+        if family is None:
+            if knot is not None:
+                raise ValueError("knot requires a family")
+            return tuple(s.replace(rho=jnp.full_like(s.rho, rho)) for s in al)
+        i = self._family_index(family)
+        s = al[i]
+        if knot is None:
+            s = s.replace(rho=jnp.full_like(s.rho, rho))
+        else:
+            row = _knot_row(self.prob.constraint_families[i], knot)
+            s = s.replace(rho=s.rho.at[row].set(rho))
+        return al[:i] + (s,) + al[i + 1 :]
+
+    def get_penalty(self, al: ALState, family, knot=None):
+        """Penalty of one constraint family (`al_cost.hpp:171-200`):
+        the [nk] per-knot vector, or the scalar at `knot`."""
+        i = self._family_index(family)
+        rho = al[i].rho
+        if knot is None:
+            return rho
+        row = _knot_row(self.prob.constraint_families[i], knot)
+        return rho[row]
+
+    def get_duals(self, al: ALState, family, knot=None):
+        """Lagrange multipliers of one family (`al_cost.hpp:204-231`
+        analog): [nk, p], or the [p] row at `knot`."""
+        i = self._family_index(family)
+        lam = al[i].lam
+        if knot is None:
+            return lam
+        row = _knot_row(self.prob.constraint_families[i], knot)
+        return lam[row]
 
     def reset_duals(self, al: ALState) -> ALState:
         return tuple(s.replace(lam=jnp.zeros_like(s.lam)) for s in al)

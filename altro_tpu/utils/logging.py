@@ -77,6 +77,7 @@ class SolverLogger:
         level: LogLevel = LogLevel.SILENT,
         color: bool = True,
         frequency: int = 10,
+        fleet: bool = False,
     ):
         self.level = LogLevel(level)
         self.color = color and sys.stdout.isatty()
@@ -87,7 +88,10 @@ class SolverLogger:
         self.entries: dict[str, LogEntry] = {}
         self._order: list[str] = []
         self._current: dict[str, object] = {}
-        self._default_columns()
+        if fleet:
+            self._fleet_columns()
+        else:
+            self._default_columns()
 
     def _default_columns(self):
         add = self.add_entry
@@ -101,6 +105,22 @@ class SolverLogger:
         add(LogEntry("reg", "{:>.1e}", 9, LogLevel.INNER_DEBUG))
         add(LogEntry("z", "{:>.3f}", 7, LogLevel.INNER_DEBUG))
         add(LogEntry("pen", "{:>.1e}", 9, LogLevel.DEBUG))
+
+    def _fleet_columns(self):
+        """Fleet-level columns for batched solves: each row summarizes the
+        whole lockstep batch (the batched analog of the reference's
+        per-iteration rows, `solver_logger.cpp:47-54`)."""
+        add = self.add_entry
+        add(LogEntry("iters", "{:>4d}", 6, LogLevel.INNER, is_int=True))
+        add(LogEntry("iter_al", "{:>4d}", 8, LogLevel.OUTER, is_int=True))
+        add(LogEntry("active", "{:>5d}", 8, LogLevel.INNER, is_int=True))
+        add(LogEntry("solved", "{:>5d}", 8, LogLevel.OUTER, is_int=True))
+        add(LogEntry("viol_max", "{:>.3e}", 12, LogLevel.OUTER))
+        add(LogEntry("cost_med", "{:>.4g}", 11, LogLevel.INNER))
+        add(LogEntry("dJ_med", "{:>.2e}", 10, LogLevel.INNER))
+        add(LogEntry("alpha_med", "{:>.2f}", 10, LogLevel.INNER_DEBUG))
+        add(LogEntry("grad_med", "{:>.2e}", 10, LogLevel.OUTER_DEBUG))
+        add(LogEntry("pen_max", "{:>.1e}", 9, LogLevel.OUTER_DEBUG))
 
     def reset(self) -> None:
         """Restart the header cadence (new solve)."""
