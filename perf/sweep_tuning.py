@@ -29,12 +29,14 @@ from altro_tpu.solver.compaction import CompactedALSolver
 GOLDEN = 0.03893465058924039
 
 
-def run_point(prob, Z0, batch, dtype, *, initial_penalty, phase1_iters, tail_batch):
+def run_point(prob, Z0, batch, dtype, *, initial_penalty, phase1_iters,
+              tail_batch, ls_cap=20, backward="fused"):
     opts = SolverOptions(
-        backward_pass="pallas",
+        backward_pass=backward,
         forward_pass="pallas",
         scan_unroll=4,
         initial_penalty=initial_penalty,
+        line_search_max_iterations=ls_cap,
     )
     solver = CompactedALSolver(
         prob, opts, phase1_iters=phase1_iters, tail_batch=min(tail_batch, batch)
@@ -63,6 +65,8 @@ def run_point(prob, Z0, batch, dtype, *, initial_penalty, phase1_iters, tail_bat
         "initial_penalty": initial_penalty,
         "phase1_iters": phase1_iters,
         "tail_batch": tail_batch,
+        "ls_cap": ls_cap,
+        "backward": backward,
         "solves_per_s": round(batch / dt_s, 1),
         "solved": solved,
         "stalled": stalled,
@@ -84,10 +88,16 @@ def main():
     Z0 = defn.initial_trajectory()
 
     points = []
-    for pen, p1 in itertools.product(
-        [1.0, 10.0, 100.0], [10, 12, 14]
-    ):
-        points.append(dict(initial_penalty=pen, phase1_iters=p1, tail_batch=1024))
+    # r3 re-tune under the fused backward kernel: phase1 cap x ls cap,
+    # plus the r2 initial-penalty sanity points
+    for p1, ls in itertools.product([12, 14, 16, 20], [6, 10, 20]):
+        points.append(
+            dict(initial_penalty=1.0, phase1_iters=p1, tail_batch=1024, ls_cap=ls)
+        )
+    for pen in (10.0, 100.0):
+        points.append(
+            dict(initial_penalty=pen, phase1_iters=14, tail_batch=1024, ls_cap=6)
+        )
 
     for pt in points:
         try:
