@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Generate the f64 reference solution golden for the canonical bench element.
+"""Generate the f64 reference-solution goldens for the canonical bench element.
 
 The driver's parity metric is "control trajectories matching altro-cpp to
-1e-4" (BASELINE.md:28).  The per-instance f64 solver at default options IS
-the altro-cpp-equivalent program: its full-solve trajectory/cost/iteration
+1e-4" (BASELINE.md:28).  The per-instance f64 solver IS the
+altro-cpp-equivalent program: its full-solve trajectory/cost/iteration
 behavior is pinned against the reference's Altro.jl-derived goldens in
 tests/test_al.py (J to 1e-9, 14/5 iterations, `auglag_test.cpp:325-351`).
-This script runs that solve for the canonical bench element (unicycle
-turn-90 parking, N=100, goal + control bounds, x0 = 0, default tolerances)
-and saves X/U/J to `tests/goldens/unicycle_turn90_refsolve_f64.npz`;
-`bench.py` compares the f32 batched canonical solution against it and
-reports `control_parity` = max|U_f32_batched − U_f64_ref|.
+
+Two goldens are produced for the canonical bench element (unicycle turn-90
+parking, N=100, goal + control bounds, x0 = 0):
+
+  * `unicycle_turn90_refsolve_f64_tol6.npz` — the reference's TEST config
+    (`constraint_tolerance = 1e-6`, `auglag_test.cpp:337`).  This solve
+    reproduces the reference's pinned J = 0.03893465058924039 to 1e-11 and
+    its exact 14/5 iteration counts; it is the parity anchor `bench.py`
+    measures `control_parity` against.
+  * `unicycle_turn90_refsolve_f64.npz` — reference-DEFAULT options (the
+    config of the reference's own benchmark, `perf/benchmark_unicycle.cpp`);
+    used for the bench's `control_parity_bench_tol` stopping-ball report.
 
 Run on CPU with x64: `python perf/make_canonical_golden.py`.
 """
@@ -19,12 +26,12 @@ import sys
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-def main() -> None:
+
+def solve_and_save(opts_kw: dict, fname: str) -> None:
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from altro_tpu import ALSolver, SolverOptions, SolverStatus
@@ -32,14 +39,11 @@ def main() -> None:
 
     defn = UnicycleProblem(dtype=jnp.float64)
     prob = defn.make_problem(add_constraints=True).compile()
-    solver = ALSolver(prob, SolverOptions())  # reference-default options
+    solver = ALSolver(prob, SolverOptions(**opts_kw))
     res = jax.jit(solver.solve)(prob.params, defn.initial_trajectory())
     status = int(res.status)
     assert status == int(SolverStatus.SOLVED), status
-    out = os.path.join(
-        os.path.dirname(__file__), "..", "tests", "goldens",
-        "unicycle_turn90_refsolve_f64.npz",
-    )
+    out = os.path.join(_REPO, "tests", "goldens", fname)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez(
         out,
@@ -51,11 +55,21 @@ def main() -> None:
         iterations_outer=np.asarray(res.stats.iterations_outer),
     )
     print(
-        f"wrote {out}: J={float(res.stats.cost):.12f} "
+        f"wrote {fname}: J={float(res.stats.cost):.12f} "
         f"viol={float(res.stats.violations):.3e} "
         f"iters={int(res.stats.iterations_total)}"
         f"/{int(res.stats.iterations_outer)} outer"
     )
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    solve_and_save(dict(constraint_tolerance=1e-6), "unicycle_turn90_refsolve_f64_tol6.npz")
+    solve_and_save(dict(), "unicycle_turn90_refsolve_f64.npz")
 
 
 if __name__ == "__main__":

@@ -30,13 +30,14 @@ GOLDEN = 0.03893465058924039
 
 
 def run_point(prob, Z0, batch, dtype, *, initial_penalty, phase1_iters,
-              tail_batch, ls_cap=20, backward="fused"):
+              tail_batch, ls_cap=20, backward="fused", ls_parallel=1):
     opts = SolverOptions(
         backward_pass=backward,
         forward_pass="pallas",
         scan_unroll=4,
         initial_penalty=initial_penalty,
         line_search_max_iterations=ls_cap,
+        line_search_parallel=ls_parallel,
     )
     solver = CompactedALSolver(
         prob, opts, phase1_iters=phase1_iters, tail_batch=min(tail_batch, batch)
@@ -66,6 +67,7 @@ def run_point(prob, Z0, batch, dtype, *, initial_penalty, phase1_iters,
         "phase1_iters": phase1_iters,
         "tail_batch": tail_batch,
         "ls_cap": ls_cap,
+        "ls_parallel": ls_parallel,
         "backward": backward,
         "solves_per_s": round(batch / dt_s, 1),
         "solved": solved,
@@ -97,6 +99,14 @@ def main():
     for pen in (10.0, 100.0):
         points.append(
             dict(initial_penalty=pen, phase1_iters=14, tail_batch=1024, ls_cap=6)
+        )
+    # speculative line search (alpha_full_rate ~0.54 in BENCH_r03: the
+    # lockstep sequential search averages ~2 widened-kernel-equivalent
+    # rounds, so evaluating S candidates per round may win)
+    for S, ls in ((2, 6), (3, 6), (4, 8), (6, 6)):
+        points.append(
+            dict(initial_penalty=1.0, phase1_iters=14, tail_batch=1024,
+                 ls_cap=ls, ls_parallel=S)
         )
 
     for pt in points:

@@ -73,3 +73,27 @@ def test_full_solve_shipped_config_parity(parking):
     control_parity = float(np.abs(U0 - U_ref).max())
     # measured on v5e: 4.7e-4 (perf/diagnose_parity.out); bound = 1.5x headroom
     assert control_parity <= 7e-4, control_parity
+
+
+def test_parity_metric_at_reference_test_config(parking):
+    """The driver metric (control parity ≤ 1e-4, BASELINE.md:28), measured
+    the way `bench.py` reports it: shipped kernels, f32, the reference's
+    test config (constraint_tolerance=1e-6, `auglag_test.cpp:337`) vs the
+    f64 solve of the same config — the config whose J the reference pins
+    to 1e-17 (`auglag_test.cpp:346-349`).  Measured on v5e: 8.8e-5."""
+    import bench
+
+    from altro_tpu import SolverStatus
+
+    defn, prob = parking
+    res = bench.parity_solve(prob, defn, batch=1024)
+    assert int(np.asarray(res["status"][0])) == int(SolverStatus.SOLVED)
+    U_ref, X_ref, J_ref = bench.load_reference_golden(
+        "unicycle_turn90_refsolve_f64_tol6.npz"
+    )
+    U0 = np.asarray(res["Z"].U[..., 0], np.float64)
+    X0 = np.asarray(res["Z"].X[..., 0], np.float64)
+    assert float(np.abs(U0 - U_ref).max()) <= 1e-4
+    assert float(np.abs(X0 - X_ref).max()) <= 1e-4
+    J0 = float(np.asarray(res["stats"].cost[0], np.float64))
+    assert abs(J0 - J_ref) / J_ref <= 1e-4
