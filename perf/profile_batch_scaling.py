@@ -27,7 +27,7 @@ def main():
 
     for B in (128, 256, 512, 1024, 2048, 4096, 8192, 16384):
         opts = SolverOptions(
-            backward_pass="pallas", forward_pass="pallas", scan_unroll=4,
+            backward_pass="fused", forward_pass="pallas", scan_unroll=4,
             max_iterations_total=8,
         )
         s = ALSolverBatched(prob, opts)
