@@ -29,11 +29,13 @@ from .problem.dynamics import (
 from .problem.problem import CompiledProblem, Problem, ProblemParams
 from .solver.ilqr import ILQRSolver
 from .solver.al import ALSolver
+from .solver.mpc import MPC, BatchedMPC
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ALSolver",
+    "BatchedMPC",
     "CompiledProblem",
     "Cone",
     "Constraint",
@@ -44,6 +46,7 @@ __all__ = [
     "ILQRSolver",
     "INEQUALITY",
     "LogLevel",
+    "MPC",
     "Problem",
     "ProblemParams",
     "SolverOptions",

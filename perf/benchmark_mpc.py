@@ -37,7 +37,9 @@ from altro_tpu.solver.mpc import MPC
 
 def single(defn, prob, steps=60):
     mpc = MPC(prob, SolverOptions(), shift=True)
-    model = unicycle_rk4()
+    # jit the plant step: eager dispatch through the axon tunnel costs
+    # seconds per RK4 step (dozens of tiny ops x tunnel RTT)
+    model = jax.jit(unicycle_rk4())
     state = mpc.init(defn.initial_trajectory())
     x = jnp.zeros(3)
     lat = []
@@ -58,38 +60,61 @@ def single(defn, prob, steps=60):
     }
 
 
-def fleet(defn, prob, B=1024, steps=30):
-    mpc = MPC(prob, SolverOptions(), shift=True)
-    model = unicycle_rk4()
+def fleet(defn, prob, B=4096, steps=12):
+    """Lane-major fleet via BatchedMPC (the TPU-native fleet controller).
+
+    A vmapped per-instance `MPC.step` was measured at ~11 s/step at B=256
+    (batch-first layout, tiny per-knot matrices) — recorded in
+    perf/mpc_latency.out; `BatchedMPC` re-solves the whole fleet as one
+    lane-major program per tick instead.
+    """
+    from altro_tpu import BatchedMPC
+    from altro_tpu.solver.batched import to_batch_last
+
+    # Real-time per-tick budget: cap total iterations per step.  The fleet
+    # tick is lockstep, so without the cap the handful of never-converging
+    # instances run to the 300-iteration cap EVERY tick (measured 757 ms
+    # vs ~30 ms; warm-start p50 is 2 iterations).  Capped instances report
+    # MAX_ITERATIONS that tick and keep improving across ticks.
+    mpc = BatchedMPC(prob, SolverOptions(
+        backward_pass="fused", forward_pass="pallas", scan_unroll=4,
+        max_iterations_total=10, max_iterations_inner=10,
+    ), shift=True)
+    model = jax.jit(jax.vmap(
+        lambda x, u: unicycle_rk4()(x, u, 0.0, defn.h), in_axes=-1, out_axes=-1
+    ))
 
     Z0 = defn.initial_trajectory()
-    state1 = mpc.init(Z0)
-    stateB = jax.tree_util.tree_map(
-        lambda l: jnp.broadcast_to(l, (B,) + l.shape), state1
-    )
+    Zb = to_batch_last(jax.tree_util.tree_map(
+        lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0
+    ))
+    state = mpc.init(Zb)
     rng = np.random.default_rng(0)
-    xB = jnp.asarray(rng.uniform(-0.1, 0.1, size=(B, 3)), jnp.float32)
+    xB = jnp.asarray(rng.uniform(-0.1, 0.1, size=(3, B)), jnp.float32)
 
-    step_v = jax.jit(jax.vmap(lambda s, x: mpc.step(s, x)))
-    model_v = jax.vmap(lambda x, u: model(x, u, 0.0, defn.h))
-
-    (u0, stateB2) = step_v(stateB, xB)  # compile
+    u0, state = mpc.step(state, xB)  # compile
     jax.block_until_ready(u0)
     lat = []
+    solved = 0
     for _ in range(steps):
         t0 = time.perf_counter()
-        u0, stateB = step_v(stateB, xB)
+        u0, state = mpc.step(state, xB)
         jax.block_until_ready(u0)
         lat.append((time.perf_counter() - t0) * 1e3)
-        xB = model_v(xB, u0)
+        xB = model(xB, u0)
+        from altro_tpu import SolverStatus
+
+        solved = int((np.asarray(state.status) == int(SolverStatus.SOLVED)).sum())
     lat = np.asarray(lat[3:])
     med = float(np.median(lat))
     return {
-        "mode": f"fleet_{B}_controllers",
+        "mode": f"fleet_{B}_controllers_batched",
         "step_ms_median": round(med, 3),
         "step_ms_p95": round(float(np.percentile(lat, 95)), 3),
         "within_10ms_budget_pct": round(float((lat < 10.0).mean() * 100), 1),
         "controller_steps_per_s": round(B * 1000.0 / med, 1),
+        "fleet_solved_last_tick": solved,
+        "warm_iters_p50": float(np.percentile(np.asarray(state.iterations), 50)),
     }
 
 
