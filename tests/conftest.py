@@ -5,6 +5,15 @@ Golden-value parity tests against the reference's Altro.jl-derived numbers
 multiple devices, which we emulate on CPU.  The environment may have already
 imported jax (site customization) with a TPU platform pinned, so we override
 via jax.config before any backend initializes.
+
+CONCURRENCY HAZARD (observed r3): when the axon sitecustomize is on
+PYTHONPATH, even a CPU-pinned pytest process registers the TPU plugin at
+interpreter start; two axon-registered processes interfere through the
+tunnel and can corrupt each other (one full-suite run produced a spurious
+NaN failure in test_quadrotor_waypoint while a TPU bench ran concurrently —
+unreproducible in a clean environment, 162/162 green).  Run the suite with
+`PYTHONPATH=/root/repo` (axon_site dropped) if anything TPU-side may be
+running.
 """
 import os
 
