@@ -11,7 +11,8 @@ its solve (`perf/profiler_unicycle.out:10`).
 
 This kernel computes the expansions ON THE FLY inside the backward sweep:
 at grid step k it streams only (x_k, u_k, λ_k, ρ_k) HBM→VMEM (≈10 tiles
-instead of ≈40), rebuilds the quadratic-cost expansion from SMEM scalars,
+instead of ≈40), rebuilds the quadratic-cost expansion from SMEM scalars
+(or VMEM tiles for per-instance params — see `ForwardKernel.param_sig`),
 assembles the AL Gauss-Newton terms from the structured constraints
 (`constraint_values.hpp:131-177` algebra, diagonal cones), differentiates
 the RK4/Euler step via `jax.linearize` of the continuous dynamics
@@ -21,9 +22,11 @@ Kahan-accumulates the trajectory's AL cost, so the caller gets J0 for free
 and the separate cost pass disappears.
 
 Eligibility matches `ForwardKernel` (quadratic costs, structured
-constraints, shared rk4/euler dynamics with scalar params, zero /
-negative-orthant cones, batch % 1024 == 0); the solver falls back to
-`expand` + `riccati_pallas`/`riccati_scan` otherwise.
+constraints, shared-structure rk4/euler dynamics with scalar params, zero /
+negative-orthant cones, batch % 1024 == 0); per-instance (trailing-batch)
+cost / constraint / dynamics param leaves stream as VMEM tiles, variants
+cached per signature.  The solver falls back to `expand` +
+`riccati_pallas`/`riccati_scan` otherwise.
 
 Semantics equal `expand` + `riccati_scan` (verified in interpret mode by
 tests/test_backward_fused.py and compiled-on-TPU by
@@ -52,7 +55,7 @@ class BackwardFusedKernel(ForwardKernel):
     `expand` + `riccati_scan` (+ per-knot cost sum) to f32 rounding.
     """
 
-    def _build_specs(self):
+    def _build_specs(self, sig: frozenset):
         n, m = self.n, self.m
         N = self.N
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -82,26 +85,16 @@ class BackwardFusedKernel(ForwardKernel):
             specs.append(spec)
 
         add("th", smem())
-        for i in range(self._dyn_leaf_count):
-            add(f"dyn{i}", smem())
-        for f in self._cost_fams:
-            fi = f["fi"]
-            for pname in ("Q", "R", "H", "q", "r", "c"):
-                add(f"cost{fi}_{pname}", smem())
-        for f in self._con_fams:
-            fi = f["fi"]
-            kind = f["structure"][0]
-            if kind == "goal":
-                add(f"con{fi}_xf", smem())
-            elif kind == "control_bound":
-                add(f"con{fi}_lb", smem())
-                add(f"con{fi}_ub", smem())
-            elif kind == "circle":
-                add(f"con{fi}_cx", smem())
-                add(f"con{fi}_cy", smem())
-                add(f"con{fi}_r", smem())
-            else:  # pragma: no cover - gated in ForwardKernel.__init__
-                raise Ineligible(f"unknown structure {kind!r}")
+        for name, shape, stacked in self._param_info:
+            if name in sig and stacked:
+                # full-range per-knot + per-instance: stage rows stream
+                # reversed with the trajectory, terminal row on its own tile
+                add(name, rstream(*shape[1:]))
+                add(name + "T", tile(*shape[1:]))
+            elif name in sig:
+                add(name, tile(*shape))
+            else:
+                add(name, smem())
         add("X", rstream(n))
         add("U", rstream(m))
         add("xN", tile(n))
@@ -115,9 +108,7 @@ class BackwardFusedKernel(ForwardKernel):
                 add(f"lamT{fi}", tile(f["p"]))
                 add(f"rhoT{fi}", tile())
 
-        self._in_specs = specs
-        self._names = names
-        self._out_specs = [
+        out_specs = [
             rstream(m, n),  # K
             rstream(m),     # d
             tile(),         # dV1
@@ -125,34 +116,30 @@ class BackwardFusedKernel(ForwardKernel):
             tile(),         # failed
             tile(),         # J0
         ]
-        self._scratch = [
+        scratch = [
             pltpu.VMEM((n, n, self.sub, self.lane), self.dtype),  # P
             pltpu.VMEM((n, self.sub, self.lane), self.dtype),     # p
             pltpu.VMEM((2, self.sub, self.lane), self.dtype),     # dV1, dV2
             pltpu.VMEM((self.sub, self.lane), jnp.int32),         # failed
             pltpu.VMEM((2, self.sub, self.lane), self.dtype),     # J, comp
         ]
+        return dict(
+            in_specs=specs, names=names, out_specs=out_specs, scratch=scratch
+        )
 
     # ------------------------------------------------------- tile expansions
-    def _tile_quad_expansion(self, get, f, x, u, row):
+    def _tile_quad_expansion(self, get, sig, f, x, u, row, blk):
         """Quadratic-cost expansion on a tile: value J, gradient rows
-        (lx [n], lu [m]) and the constant Hessian entries as scalar-reads
+        (lx [n], lu [m]) and the constant Hessian entries as accessors
         (Qv/Hv/Rv) for direct accumulation (`quadratic_cost.cpp:8-63`)."""
         n, m = self.n, self.m
-        fi = f["fi"]
-        if f["stacked"]:
-            Qv = lambda i, j: get(f"cost{fi}_Q")[row, i * n + j]
-            Rv = lambda i, j: get(f"cost{fi}_R")[row, i * m + j]
-            Hv = lambda i, j: get(f"cost{fi}_H")[row, i * m + j]
-            qv = lambda i: get(f"cost{fi}_q")[row, i]
-            rv = lambda i: get(f"cost{fi}_r")[row, i]
-        else:
-            Qv = lambda i, j: get(f"cost{fi}_Q")[i, j]
-            Rv = lambda i, j: get(f"cost{fi}_R")[i, j]
-            Hv = lambda i, j: get(f"cost{fi}_H")[i, j]
-            qv = lambda i: get(f"cost{fi}_q")[i, 0]
-            rv = lambda i: get(f"cost{fi}_r")[i, 0]
-        J = self._tile_quad(get, f, x, u, row)
+        Qv_, Rv_, Hv_, qv_, rv_, _ = self._quad_readers(get, sig, f, blk)
+        Qv = lambda i, j: Qv_(row, i, j)
+        Rv = lambda i, j: Rv_(row, i, j)
+        Hv = lambda i, j: Hv_(row, i, j)
+        qv = lambda i: qv_(row, i)
+        rv = lambda i: rv_(row, i)
+        J = self._tile_quad(get, sig, f, x, u, row, blk)
         lx = []
         for i in range(n):
             acc = qv(i) + Qv(i, i) * x[i]
@@ -176,7 +163,7 @@ class BackwardFusedKernel(ForwardKernel):
                 lu.append(acc)
         return J, lx, lu, Qv, Hv, Rv
 
-    def _tile_al_expansion(self, get, f, x, u, lam_rows, rho):
+    def _tile_al_expansion(self, get, sig, f, x, u, lam_rows, rho):
         """AL value + gradient/Gauss-Newton contributions for one structured
         constraint family on a tile (`constraint_values.hpp:111-177`).
 
@@ -184,7 +171,7 @@ class BackwardFusedKernel(ForwardKernel):
         accumulation lists (None entries = structurally zero).
         """
         n, m = self.n, self.m
-        c_rows = self._tile_con_rows(get, f, x, u)
+        c_rows = self._tile_con_rows(get, sig, f, x, u)
         J = self._al_value(f["cone"], lam_rows, rho, c_rows)
         zero = jnp.zeros_like(x[0])
         gx = [zero] * n
@@ -220,10 +207,10 @@ class BackwardFusedKernel(ForwardKernel):
                     Huu[j][j] = Huu[j][j] + hw
             else:  # circle: c = r² - dx² - dy²; C_x = (-2dx, -2dy)
                 _, xi, yi = f["structure"]
-                cx = get(f"con{f['fi']}_cx")
-                cy = get(f"con{f['fi']}_cy")
-                dx = x[xi] - cx[r, 0]
-                dy = x[yi] - cy[r, 0]
+                cx = self._pacc(get, sig, f"con{f['fi']}_cx")
+                cy = self._pacc(get, sig, f"con{f['fi']}_cy")
+                dx = x[xi] - cx(r)
+                dy = x[yi] - cy(r)
                 gx[xi] = gx[xi] + 2.0 * dx * w
                 gx[yi] = gx[yi] + 2.0 * dy * w
                 Hxx[xi][xi] = Hxx[xi][xi] + 4.0 * hw * dx * dx
@@ -295,31 +282,24 @@ class BackwardFusedKernel(ForwardKernel):
         return A, Bd
 
     # --------------------------------------------------------------- kernel
-    def _make_kernel(self, check_bounds: bool = False):
-        del check_bounds  # no rollout guard in the backward sweep
-        names = self._names
+    def _make_kernel(self, sig: frozenset, names, n_in):
         n, m, N = self.n, self.m, self.N
         cost_fams = self._cost_fams
         con_fams = self._con_fams
-        dyn_leaf_count = self._dyn_leaf_count
-        treedef = self._dyn_treedef
 
         def kernel(*refs):
-            in_refs = refs[: len(self._in_specs)]
+            in_refs = refs[:n_in]
             K_ref, d_ref, dV1_ref, dV2_ref, failed_ref, J0_ref = refs[
-                len(self._in_specs) : len(self._in_specs) + 6
+                n_in : n_in + 6
             ]
-            P_scr, p_scr, dv_scr, fail_scr, J_scr = refs[
-                len(self._in_specs) + 6 :
-            ]
+            P_scr, p_scr, dv_scr, fail_scr, J_scr = refs[n_in + 6 :]
 
             def get(name):
                 return in_refs[names[name]]
 
             k_rev = pl.program_id(1)
             th = get("th")
-            dyn_leaves = [get(f"dyn{i}")[0, 0] for i in range(dyn_leaf_count)]
-            dyn_params = jax.tree_util.tree_unflatten(treedef, dyn_leaves)
+            dyn_params = self._dyn_params_in_kernel(get, sig)
 
             def kadd(J, comp, term):
                 y = term - comp
@@ -342,7 +322,7 @@ class BackwardFusedKernel(ForwardKernel):
                         continue
                     row = N - f["k0"]
                     Jq, lx, _, Qv, _, _ = self._tile_quad_expansion(
-                        get, f, xs, None, row
+                        get, sig, f, xs, None, row, None
                     )
                     J, comp = kadd(J, comp, Jq)
                     for i in range(n):
@@ -361,7 +341,7 @@ class BackwardFusedKernel(ForwardKernel):
                     if f["structure"][0] == "control_bound":
                         um = [zero] * m
                     Jc, gx, _, Hxx, _, _ = self._tile_al_expansion(
-                        get, f, xs, um, lam_rows, rho_c
+                        get, sig, f, xs, um, lam_rows, rho_c
                     )
                     J, comp = kadd(J, comp, Jc)
                     for i in range(n):
@@ -397,7 +377,7 @@ class BackwardFusedKernel(ForwardKernel):
                 nk = f["k1"] - f["k0"] + 1
                 row = jnp.clip(k - f["k0"], 0, nk - 1)
                 Jq, glx, glu, Qv, Hv, Rv = self._tile_quad_expansion(
-                    get, f, xs, us, row
+                    get, sig, f, xs, us, row, 0
                 )
                 lo, hi = f["k0"], min(f["k1"], N - 1)
                 inr = None
@@ -429,7 +409,7 @@ class BackwardFusedKernel(ForwardKernel):
                 lam_rows = [get(f"lam{fi}")[0, r, 0] for r in range(f["p"])]
                 rho_c = get(f"rho{fi}")[0, 0]
                 Jc, gx, gu, Hxx, Hxu, Huu = self._tile_al_expansion(
-                    get, f, xs, us, lam_rows, rho_c
+                    get, sig, f, xs, us, lam_rows, rho_c
                 )
                 lo, hi = f["k0"], min(f["k1"], N - 1)
                 inr = None
@@ -473,6 +453,12 @@ class BackwardFusedKernel(ForwardKernel):
             L, fail_k = _chol(Quu, diag_add=rho)
             K = -_chol_solve_mat(L, _mT(Qxu))
             d = -_chol_solve_mat(L, Qu[:, None])[:, 0]
+            # gain-magnitude guard (SolverOptions.bp_gain_limit)
+            glim = float(self.opts.bp_gain_limit)
+            fail_k = fail_k | jnp.logical_not(
+                (jnp.max(jnp.abs(K), axis=(0, 1)) <= glim)
+                & (jnp.max(jnp.abs(d), axis=0) <= glim)
+            )
 
             KtQuu = _mm(_mT(K), Quu)
             p_new = Qx + _mv(KtQuu, d) + _mv(_mT(K), Qu) + _mv(Qxu, d)
@@ -503,9 +489,11 @@ class BackwardFusedKernel(ForwardKernel):
 
         return kernel
 
-    def _get_call(self, nt: int):
-        if nt not in self._kernels:
+    def _get_call(self, nt: int, sig: frozenset):
+        key = (nt, sig)
+        if key not in self._kernels:
             n, m, N = self.n, self.m, self.N
+            sp = self._build_specs(sig)
             out_shape = [
                 jax.ShapeDtypeStruct((N, m, n, nt, self.sub, self.lane), self.dtype),
                 jax.ShapeDtypeStruct((N, m, nt, self.sub, self.lane), self.dtype),
@@ -514,19 +502,19 @@ class BackwardFusedKernel(ForwardKernel):
                 jax.ShapeDtypeStruct((nt, self.sub, self.lane), jnp.int32),
                 jax.ShapeDtypeStruct((nt, self.sub, self.lane), self.dtype),
             ]
-            self._kernels[nt] = pl.pallas_call(
-                self._make_kernel(),
+            self._kernels[key] = pl.pallas_call(
+                self._make_kernel(sig, sp["names"], len(sp["in_specs"])),
                 grid=(nt, N),
-                in_specs=self._in_specs,
-                out_specs=self._out_specs,
+                in_specs=sp["in_specs"],
+                out_specs=sp["out_specs"],
                 out_shape=out_shape,
-                scratch_shapes=self._scratch,
+                scratch_shapes=sp["scratch"],
                 interpret=self.interpret,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "arbitrary"),
                 ),
             )
-        return self._kernels[nt]
+        return self._kernels[key]
 
     # ----------------------------------------------------------------- call
     def __call__(self, params, al_pad, Z, rho):
@@ -536,6 +524,7 @@ class BackwardFusedKernel(ForwardKernel):
             raise ValueError(f"batch {B} must be a multiple of {self.tile}")
         nt = B // self.tile
         f32 = self.dtype
+        sig = self.param_sig(params)
 
         def shp(x):
             return jnp.asarray(x, f32).reshape(
@@ -554,30 +543,7 @@ class BackwardFusedKernel(ForwardKernel):
             [Z.t, jnp.concatenate([Z.h, jnp.zeros((1,), Z.h.dtype)])], axis=-1
         )
         arrays = [smem2(th)]
-        arrays += [
-            smem2(leaf)
-            for leaf in jax.tree_util.tree_leaves(params.dynamics[0])
-        ]
-        for f in self._cost_fams:
-            fp = params.costs[f["fi"]]
-            for pname in ("Q", "R", "H", "q", "r", "c"):
-                a = jnp.asarray(fp[pname], f32)
-                if f["stacked"]:
-                    arrays.append(a.reshape(a.shape[0], -1))
-                else:
-                    arrays.append(smem2(a))
-        for f in self._con_fams:
-            fp = params.constraints[f["fi"]]
-            kind = f["structure"][0]
-            if kind == "goal":
-                arrays.append(smem2(fp["xf"]))
-            elif kind == "control_bound":
-                arrays.append(smem2(fp["lb"]))
-                arrays.append(smem2(fp["ub"]))
-            else:
-                arrays.append(smem2(fp["cx"]))
-                arrays.append(smem2(fp["cy"]))
-                arrays.append(smem2(fp["r"]))
+        arrays += self._param_arrays(params, sig, shp, smem2)
         arrays += [shp(Z.X[:-1]), shp(Z.U), shp(Z.X[-1])]
         arrays.append(shp(jnp.asarray(rho, f32)))
         for f, pad in zip(self._con_fams, al_pad):
@@ -588,7 +554,7 @@ class BackwardFusedKernel(ForwardKernel):
                 arrays.append(shp(pad["lamT"]))
                 arrays.append(shp(pad["rhoT"]))
 
-        call = self._get_call(nt)
+        call = self._get_call(nt, sig)
         K, d, dV1, dV2, failed, J0 = call(*arrays)
 
         def unshp(x):

@@ -25,12 +25,25 @@ With α = 0 (and K = d = 0) the same program is the open-loop rollout + cost
 (`ilqr.hpp:453-459`); a second instantiation without the divergence guard
 matches the reference's unguarded open rollout.
 
+Problem params stream two ways, decided PER LEAF at call time (r4):
+  * shared across the batch → SMEM scalars, read once per tile (free);
+  * per-instance (trailing batch axis vs the canonical shape, the
+    `batch_axes` convention) → VMEM tiles like x0, fetched once per batch
+    tile since their block index ignores the time grid axis.
+This is what lets the randomized fleet (per-instance obstacle layouts /
+goal refs / dynamics scalars — BASELINE config 5) run on the fused kernels
+instead of the ~8x-slower XLA scans; the reference is indifferent to which
+problem object each solve in its loop uses
+(`perf/benchmark_unicycle.cpp:45-75`), and so is this kernel.  Kernel
+variants are cached per (signature, batch tiles).
+
 Eligibility (checked at build; the solver falls back to the XLA scans
-otherwise): one shared rk4/euler dynamics family whose continuous fn traces
-on tile-shaped states, quadratic cost families, canned constraint structures
-(goal / control bound / circle — `problem/constraints.py` structure tags),
-contiguous knot ranges, shared params, zero/negative-orthant cones, and
-batch % 1024 == 0.
+otherwise): one shared-structure rk4/euler dynamics family whose continuous
+fn traces on tile-shaped states, quadratic cost families, canned constraint
+structures (goal / control bound / circle — `problem/constraints.py`
+structure tags), contiguous knot ranges, zero/negative-orthant cones, and
+batch % 1024 == 0.  Per-knot (stacked) cost params must be batch-shared
+(per-knot AND per-instance falls back — `param_sig`).
 """
 from __future__ import annotations
 
@@ -55,6 +68,13 @@ _UNSOLVED = int(SolverStatus.UNSOLVED)
 _STATE_LIMIT = int(SolverStatus.STATE_LIMIT)
 _CONTROL_LIMIT = int(SolverStatus.CONTROL_LIMIT)
 
+# param keys streamed per constraint structure kind
+_STRUCT_KEYS = {
+    "goal": ("xf",),
+    "control_bound": ("lb", "ub"),
+    "circle": ("cx", "cy", "r"),
+}
+
 
 class Ineligible(Exception):
     """Problem structure not supported by the fused kernel."""
@@ -70,7 +90,7 @@ def _contiguous(knots: np.ndarray) -> tuple[int, int]:
 
 def _scalar_leaves(params) -> list:
     """Flatten a params pytree into scalar leaves; Ineligible if any leaf
-    is larger than a scalar (the SMEM passing convention)."""
+    is larger than a scalar (the SMEM/tile passing convention)."""
     leaves = jax.tree_util.tree_leaves(params)
     for leaf in leaves:
         if np.ndim(leaf) != 0 and np.size(leaf) != 1:
@@ -170,6 +190,23 @@ class ForwardKernel:
                 )
             )
 
+        # ordered registry of streamable problem params: (name, canonical
+        # shape, stacked) — spec building and array assembly iterate this in
+        # lockstep so SMEM/VMEM placement per signature stays consistent
+        self._param_info = [
+            (name, np.shape(canon), stacked)
+            for name, canon, stacked, _ in self._iter_params(prob.params)
+        ]
+        # stacked (per-knot) cost params can be per-instance too, but only
+        # when the family covers the full knot range: stage rows then stream
+        # with the trajectory and the terminal row rides a separate tile
+        self._stacked_full = {
+            f"cost{f['fi']}_{p}": (f["k0"] == 0 and f["k1"] == N)
+            for f in self._cost_fams
+            if f["stacked"]
+            for p in ("Q", "R", "H", "q", "r", "c")
+        }
+
         # ---------------- block geometry
         sum_p = sum(f["p"] + 1 for f in self._con_fams if f["stage"])
         per_step = (n + m + m * n + m + sum_p) * self.tile * 4
@@ -177,11 +214,76 @@ class ForwardKernel:
         self.T = _pick_T(N, per_step)
         self.NT = N // self.T
 
-        self._build_specs()
         self._kernels = {}
 
+    # ---------------------------------------------------------- param plumbing
+    def _iter_params(self, params):
+        """Yield (name, canonical_leaf, stacked, actual_leaf) for every
+        streamable problem param in the fixed order (dynamics, costs,
+        constraints) shared by `_build_specs` and `__call__`."""
+        canon = self.prob.params
+        dyn_c = jax.tree_util.tree_leaves(canon.dynamics[0])
+        dyn_a = jax.tree_util.tree_leaves(params.dynamics[0])
+        for i, (c, a) in enumerate(zip(dyn_c, dyn_a)):
+            yield f"dyn{i}", c, False, a
+        for f in self._cost_fams:
+            fi = f["fi"]
+            cp, ap = canon.costs[fi], params.costs[fi]
+            for pname in ("Q", "R", "H", "q", "r", "c"):
+                yield f"cost{fi}_{pname}", cp[pname], f["stacked"], ap[pname]
+        for f in self._con_fams:
+            fi = f["fi"]
+            cp, ap = canon.constraints[fi], params.constraints[fi]
+            for key in _STRUCT_KEYS[f["structure"][0]]:
+                yield f"con{fi}_{key}", cp[key], False, ap[key]
+
+    def param_sig(self, params) -> frozenset:
+        """The per-instance signature of `params`: the set of param names
+        carrying a trailing batch axis (the `batch_axes` convention).
+
+        Raises Ineligible for layouts the kernel cannot stream (per-knot
+        stacked params that are ALSO per-instance, or unexpected ranks) —
+        the solver falls back to the XLA scans for those.
+        """
+        sig = set()
+        for name, canon, stacked, leaf in self._iter_params(params):
+            nd_c, nd_a = jnp.ndim(canon), jnp.ndim(leaf)
+            if nd_a == nd_c + 1:
+                if stacked and not self._stacked_full.get(name, False):
+                    raise Ineligible(
+                        "per-knot AND per-instance cost params on a "
+                        "partial knot range"
+                    )
+                sig.add(name)
+            elif nd_a != nd_c:
+                raise Ineligible(f"unexpected rank for param {name!r}")
+        return frozenset(sig)
+
+    def _pacc(self, get, sig, name):
+        """Accessor for a shared-or-per-instance problem param.
+
+        Shared params read SMEM scalars (2-D convention: scalar (1,1),
+        vector (k,1), matrix unchanged); per-instance params read
+        [sub, lane] tiles from their VMEM block.  Call sites are agnostic:
+        `acc(i, j)` / `acc(i)` / `acc()` return something that broadcasts
+        against tile arrays either way.
+        """
+        ref = get(name)
+        if name in sig:
+            return lambda *idx: ref[idx + (0,)] if idx else ref[0]
+        return lambda *idx: (
+            ref[idx[0], idx[1]]
+            if len(idx) == 2
+            else ref[idx[0], 0] if len(idx) == 1 else ref[0, 0]
+        )
+
     # ------------------------------------------------------------- specs
-    def _build_specs(self):
+    def _build_specs(self, sig: frozenset):
+        """Block specs for one per-instance signature.
+
+        Returns dict(in_specs, names, out_specs, scratch); `_get_call`
+        caches the resulting pallas_call per (signature, ...) key.
+        """
         n, m, T = self.n, self.m, self.T
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -207,26 +309,16 @@ class ForwardKernel:
             specs.append(spec)
 
         add("th", smem())  # [N+1, 2] times / steps (row N: t_N, 0)
-        for i in range(self._dyn_leaf_count):
-            add(f"dyn{i}", smem())
-        for f in self._cost_fams:
-            fi = f["fi"]
-            for pname in ("Q", "R", "H", "q", "r", "c"):
-                add(f"cost{fi}_{pname}", smem())
-        for f in self._con_fams:
-            fi = f["fi"]
-            kind = f["structure"][0]
-            if kind == "goal":
-                add(f"con{fi}_xf", smem())
-            elif kind == "control_bound":
-                add(f"con{fi}_lb", smem())
-                add(f"con{fi}_ub", smem())
-            elif kind == "circle":
-                add(f"con{fi}_cx", smem())
-                add(f"con{fi}_cy", smem())
-                add(f"con{fi}_r", smem())
+        for name, shape, stacked in self._param_info:
+            if name in sig and stacked:
+                # full-range per-knot + per-instance: stage rows stream
+                # with the trajectory, terminal row rides its own tile
+                add(name, stream(*shape[1:]))
+                add(name + "T", tile(*shape[1:]))
+            elif name in sig:
+                add(name, tile(*shape))
             else:
-                raise Ineligible(f"unknown structure {kind!r}")
+                add(name, smem())
         add("x0", tile(n))
         add("alpha", tile())
         add("X", stream(n))
@@ -242,22 +334,23 @@ class ForwardKernel:
                 add(f"lamT{fi}", tile(f["p"]))
                 add(f"rhoT{fi}", tile())
 
-        self._in_specs = specs
-        self._names = names
-        self._out_specs = [
+        out_specs = [
             stream(n),  # Xnext
             stream(m),  # Ubar
             tile(),     # J
             tile(),     # valid
             tile(),     # status
         ]
-        self._scratch = [
+        scratch = [
             pltpu.VMEM((n, self.sub, self.lane), self.dtype),  # xbar
             pltpu.VMEM((self.sub, self.lane), self.dtype),     # J accumulator
             pltpu.VMEM((self.sub, self.lane), self.dtype),     # J compensation
             pltpu.VMEM((self.sub, self.lane), jnp.int32),      # valid
             pltpu.VMEM((self.sub, self.lane), jnp.int32),      # status
         ]
+        return dict(
+            in_specs=specs, names=names, out_specs=out_specs, scratch=scratch
+        )
 
     # ------------------------------------------------------------- kernel
     def _tile_dyn_step(self, dyn_params, x, u, t, h):
@@ -270,29 +363,69 @@ class ForwardKernel:
         k4 = f(dyn_params, x + h * k3, u, t + h)
         return x + h * (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
 
-    def _tile_quad(self, get, f, x, u, row):
-        """Quadratic cost on a tile from SMEM params (scalar unroll).
+    def _dyn_params_in_kernel(self, get, sig):
+        """Unflatten the dynamics param tree from SMEM scalars / VMEM tiles."""
+        leaves = [
+            self._pacc(get, sig, f"dyn{i}")()
+            for i in range(self._dyn_leaf_count)
+        ]
+        return jax.tree_util.tree_unflatten(self._dyn_treedef, leaves)
 
-        Shared families read 2-D SMEM params; stacked (per-knot) families
-        read flattened rows indexed by `row` = clip(k − k0, 0, nk−1).
+    def _cost_acc(self, get, sig, f, pname, blk, flatdim=None):
+        """Accessor `(row, *idx)` for one quadratic-cost param.
+
+        Four layouts: shared SMEM scalar, shared per-instance VMEM tile,
+        stacked SMEM flattened rows (traced `row` index, `flatdim` = the
+        row-major width of 2-D params), and stacked per-instance streamed
+        rows (`blk` = static in-block row index; None selects the separate
+        terminal-row tile).
         """
-        n, m = self.n, self.m
         fi = f["fi"]
-        if f["stacked"]:
-            Qv = lambda i, j: get(f"cost{fi}_Q")[row, i * n + j]
-            Rv = lambda i, j: get(f"cost{fi}_R")[row, i * m + j]
-            Hv = lambda i, j: get(f"cost{fi}_H")[row, i * m + j]
-            qv = lambda i: get(f"cost{fi}_q")[row, i]
-            rv = lambda i: get(f"cost{fi}_r")[row, i]
-            cv = get(f"cost{fi}_c")[row, 0]
-        else:
-            Qv = lambda i, j: get(f"cost{fi}_Q")[i, j]
-            Rv = lambda i, j: get(f"cost{fi}_R")[i, j]
-            Hv = lambda i, j: get(f"cost{fi}_H")[i, j]
-            qv = lambda i: get(f"cost{fi}_q")[i, 0]
-            rv = lambda i: get(f"cost{fi}_r")[i, 0]
-            cv = get(f"cost{fi}_c")[0, 0]
-        J = cv + jnp.zeros_like(x[0])
+        name = f"cost{fi}_{pname}"
+        if not f["stacked"]:
+            a = self._pacc(get, sig, name)
+            return lambda row, *idx: a(*idx)
+        if name in sig:
+            if blk is None:
+                ref = get(name + "T")
+                return lambda row, *idx: ref[idx + (0,)] if idx else ref[0]
+            ref = get(name)
+            return lambda row, *idx: ref[(blk,) + idx + (0,)]
+        ref = get(name)  # SMEM [nk, flat]
+
+        def rd(row, *idx):
+            if len(idx) == 2:
+                return ref[row, idx[0] * flatdim + idx[1]]
+            if len(idx) == 1:
+                return ref[row, idx[0]]
+            return ref[row, 0]
+
+        return rd
+
+    def _quad_readers(self, get, sig, f, blk):
+        """(Qv, Rv, Hv, qv, rv, cv) accessors for one quadratic cost family,
+        each taking a leading `row` argument (used by the stacked-SMEM
+        layout; the others ignore it — see `_cost_acc`)."""
+        n, m = self.n, self.m
+        return (
+            self._cost_acc(get, sig, f, "Q", blk, n),
+            self._cost_acc(get, sig, f, "R", blk, m),
+            self._cost_acc(get, sig, f, "H", blk, m),
+            self._cost_acc(get, sig, f, "q", blk),
+            self._cost_acc(get, sig, f, "r", blk),
+            self._cost_acc(get, sig, f, "c", blk),
+        )
+
+    def _tile_quad(self, get, sig, f, x, u, row, blk):
+        """Quadratic cost on a tile (scalar/tile-param unroll)."""
+        n, m = self.n, self.m
+        Qv_, Rv_, Hv_, qv_, rv_, cv_ = self._quad_readers(get, sig, f, blk)
+        Qv = lambda i, j: Qv_(row, i, j)
+        Rv = lambda i, j: Rv_(row, i, j)
+        Hv = lambda i, j: Hv_(row, i, j)
+        qv = lambda i: qv_(row, i)
+        rv = lambda i: rv_(row, i)
+        J = cv_(row) + jnp.zeros_like(x[0])
         for i in range(n):
             J += qv(i) * x[i]
             J += 0.5 * Qv(i, i) * x[i] * x[i]
@@ -309,30 +442,30 @@ class ForwardKernel:
                     J += Hv(i, j) * x[i] * u[j]
         return J
 
-    def _tile_con_rows(self, get, f, x, u):
+    def _tile_con_rows(self, get, sig, f, x, u):
         """Constraint rows [p] of [self.sub,self.lane] arrays for one family."""
         fi = f["fi"]
         kind = f["structure"][0]
         if kind == "goal":
-            xf = get(f"con{fi}_xf")
-            return [x[i] - xf[i, 0] for i in range(self.n)]
+            xf = self._pacc(get, sig, f"con{fi}_xf")
+            return [x[i] - xf(i) for i in range(self.n)]
         if kind == "control_bound":
             _, lo_idx, hi_idx = f["structure"]
-            lb = get(f"con{fi}_lb")
-            ub = get(f"con{fi}_ub")
-            rows = [lb[j, 0] - u[j] for j in lo_idx]
-            rows += [u[j] - ub[j, 0] for j in hi_idx]
+            lb = self._pacc(get, sig, f"con{fi}_lb")
+            ub = self._pacc(get, sig, f"con{fi}_ub")
+            rows = [lb(j) - u[j] for j in lo_idx]
+            rows += [u[j] - ub(j) for j in hi_idx]
             return rows
         # circle
         _, xi, yi = f["structure"]
-        cx = get(f"con{fi}_cx")
-        cy = get(f"con{fi}_cy")
-        rr = get(f"con{fi}_r")
+        cx = self._pacc(get, sig, f"con{fi}_cx")
+        cy = self._pacc(get, sig, f"con{fi}_cy")
+        rr = self._pacc(get, sig, f"con{fi}_r")
         rows = []
         for o in range(f["p"]):
-            dx = x[xi] - cx[o, 0]
-            dy = x[yi] - cy[o, 0]
-            rows.append(rr[o, 0] * rr[o, 0] - dx * dx - dy * dy)
+            dx = x[xi] - cx(o)
+            dy = x[yi] - cy(o)
+            rows.append(rr(o) * rr(o) - dx * dx - dy * dy)
         return rows
 
     @staticmethod
@@ -349,25 +482,18 @@ class ForwardKernel:
             lam2 = l2 if lam2 is None else lam2 + l2
         return (acc - lam2) / (2.0 * rho)
 
-    def _make_kernel(self, check_bounds: bool):
-        names = self._names
+    def _make_kernel(self, check_bounds: bool, sig: frozenset, names, n_in):
         n, m, T, NT, N = self.n, self.m, self.T, self.NT, self.N
         opts = self.opts
         cost_fams = self._cost_fams
         con_fams = self._con_fams
         state_max2 = float(opts.state_max) ** 2
         control_max2 = float(opts.control_max) ** 2
-        dyn_leaf_count = self._dyn_leaf_count
-        treedef = self._dyn_treedef
 
         def kernel(*refs):
-            in_refs = refs[: len(self._in_specs)]
-            xn_ref, ub_ref, J_ref, valid_ref, status_ref = refs[
-                len(self._in_specs) : len(self._in_specs) + 5
-            ]
-            xbar_scr, J_scr, comp_scr, valid_scr, status_scr = refs[
-                len(self._in_specs) + 5 :
-            ]
+            in_refs = refs[:n_in]
+            xn_ref, ub_ref, J_ref, valid_ref, status_ref = refs[n_in : n_in + 5]
+            xbar_scr, J_scr, comp_scr, valid_scr, status_scr = refs[n_in + 5 :]
 
             def get(name):
                 return in_refs[names[name]]
@@ -384,8 +510,7 @@ class ForwardKernel:
                     status_scr.shape, _UNSOLVED, status_scr.dtype
                 )
 
-            dyn_leaves = [get(f"dyn{i}")[0, 0] for i in range(dyn_leaf_count)]
-            dyn_params = jax.tree_util.tree_unflatten(treedef, dyn_leaves)
+            dyn_params = self._dyn_params_in_kernel(get, sig)
             th = get("th")
             alpha = get("alpha")[0]
 
@@ -423,7 +548,7 @@ class ForwardKernel:
                         continue
                     nk = f["k1"] - f["k0"] + 1
                     row = jnp.clip(k - f["k0"], 0, nk - 1)
-                    Jc = self._tile_quad(get, f, x, ubar, row)
+                    Jc = self._tile_quad(get, sig, f, x, ubar, row, i)
                     lo, hi = f["k0"], min(f["k1"], N - 1)
                     if not (lo == 0 and hi == N - 1):
                         inr = (k >= lo) & (k <= hi)
@@ -439,7 +564,7 @@ class ForwardKernel:
                         get(f"lam{fi}")[i, r, 0] for r in range(f["p"])
                     ]
                     rho = get(f"rho{fi}")[i, 0]
-                    c_rows = self._tile_con_rows(get, f, x, ubar)
+                    c_rows = self._tile_con_rows(get, sig, f, x, ubar)
                     Jc = self._al_value(f["cone"], lam_rows, rho, c_rows)
                     lo, hi = f["k0"], min(f["k1"], N - 1)
                     if not (lo == 0 and hi == N - 1):
@@ -484,7 +609,9 @@ class ForwardKernel:
                     if f["k1"] == N:
                         Jf, compf = kadd(
                             Jf, compf,
-                            self._tile_quad(get, f, xN, None, N - f["k0"]),
+                            self._tile_quad(
+                                get, sig, f, xN, None, N - f["k0"], None
+                            ),
                         )
                 for f in con_fams:
                     if not f["terminal"]:
@@ -497,7 +624,7 @@ class ForwardKernel:
                     um = None
                     if f["structure"][0] == "control_bound":
                         um = [jnp.zeros_like(xN[0])] * m
-                    c_rows = self._tile_con_rows(get, f, xN, um)
+                    c_rows = self._tile_con_rows(get, sig, f, xN, um)
                     Jf, compf = kadd(
                         Jf, compf,
                         self._al_value(f["cone"], lam_rows, rho, c_rows),
@@ -508,10 +635,11 @@ class ForwardKernel:
 
         return kernel
 
-    def _get_call(self, check_bounds: bool, nt: int):
-        key = (check_bounds, nt)
+    def _get_call(self, check_bounds: bool, nt: int, sig: frozenset):
+        key = (check_bounds, nt, sig)
         if key not in self._kernels:
             n, m, N = self.n, self.m, self.N
+            sp = self._build_specs(sig)
             out_shape = [
                 jax.ShapeDtypeStruct((N, n, nt, self.sub, self.lane), self.dtype),
                 jax.ShapeDtypeStruct((N, m, nt, self.sub, self.lane), self.dtype),
@@ -520,12 +648,14 @@ class ForwardKernel:
                 jax.ShapeDtypeStruct((nt, self.sub, self.lane), jnp.int32),
             ]
             self._kernels[key] = pl.pallas_call(
-                self._make_kernel(check_bounds),
+                self._make_kernel(
+                    check_bounds, sig, sp["names"], len(sp["in_specs"])
+                ),
                 grid=(nt, self.NT),
-                in_specs=self._in_specs,
-                out_specs=self._out_specs,
+                in_specs=sp["in_specs"],
+                out_specs=sp["out_specs"],
                 out_shape=out_shape,
-                scratch_shapes=self._scratch,
+                scratch_shapes=sp["scratch"],
                 interpret=self.interpret,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "arbitrary"),
@@ -563,6 +693,26 @@ class ForwardKernel:
             out.append(d)
         return out
 
+    def _param_arrays(self, params, sig: frozenset, shp, smem2):
+        """Problem-param input arrays in `_param_info` order for one call."""
+        f32 = self.dtype
+        arrays = []
+        for name, canon, stacked, leaf in self._iter_params(params):
+            if name in sig and stacked:
+                # full-range [N+1, core..., B]: stage rows stream, terminal
+                # row rides its own tile (specs add name then name+"T")
+                a = jnp.asarray(leaf, f32)
+                arrays.append(shp(a[: self.N]))
+                arrays.append(shp(a[self.N]))
+            elif name in sig:
+                arrays.append(shp(jnp.asarray(leaf, f32)))
+            elif stacked:
+                a = jnp.asarray(leaf, f32)
+                arrays.append(a.reshape(a.shape[0], -1))  # [nk, flat]
+            else:
+                arrays.append(smem2(leaf))
+        return arrays
+
     def __call__(self, params, al_pad, Z, K, d, alpha, *, check_bounds=True):
         n, m, N = self.n, self.m, self.N
         B = Z.X.shape[-1]
@@ -570,6 +720,7 @@ class ForwardKernel:
             raise ValueError(f"batch {B} must be a multiple of {self.tile}")
         nt = B // self.tile
         f32 = self.dtype
+        sig = self.param_sig(params)
 
         def shp(x):  # split batch into (nt, self.sub, self.lane)
             return jnp.asarray(x, f32).reshape(x.shape[:-1] + (nt, self.sub, self.lane))
@@ -586,30 +737,7 @@ class ForwardKernel:
             [Z.t, jnp.concatenate([Z.h, jnp.zeros((1,), Z.h.dtype)])], axis=-1
         )
         arrays = [smem2(th)]
-        arrays += [
-            smem2(leaf)
-            for leaf in jax.tree_util.tree_leaves(params.dynamics[0])
-        ]
-        for f in self._cost_fams:
-            fp = params.costs[f["fi"]]
-            for pname in ("Q", "R", "H", "q", "r", "c"):
-                a = jnp.asarray(fp[pname], f32)
-                if f["stacked"]:
-                    arrays.append(a.reshape(a.shape[0], -1))  # [nk, flat]
-                else:
-                    arrays.append(smem2(a))
-        for f in self._con_fams:
-            fp = params.constraints[f["fi"]]
-            kind = f["structure"][0]
-            if kind == "goal":
-                arrays.append(smem2(fp["xf"]))
-            elif kind == "control_bound":
-                arrays.append(smem2(fp["lb"]))
-                arrays.append(smem2(fp["ub"]))
-            else:
-                arrays.append(smem2(fp["cx"]))
-                arrays.append(smem2(fp["cy"]))
-                arrays.append(smem2(fp["r"]))
+        arrays += self._param_arrays(params, sig, shp, smem2)
         x0 = params.x0
         if x0.ndim == 1:
             x0 = jnp.broadcast_to(x0[:, None], (n, B))
@@ -627,7 +755,7 @@ class ForwardKernel:
                 arrays.append(shp(pad["lamT"]))
                 arrays.append(shp(pad["rhoT"]))
 
-        call = self._get_call(check_bounds, nt)
+        call = self._get_call(check_bounds, nt, sig)
         Xn, Ubar, J, valid, status = call(*arrays)
 
         def unshp(x):

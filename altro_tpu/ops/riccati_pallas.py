@@ -113,7 +113,7 @@ def _kernel(
     PN_ref, pN_ref, rho_ref,
     K_ref, d_ref, dV1_ref, dV2_ref, failed_ref,
     P_scr, p_scr, dv_scr, fail_scr,
-    *, N: int,
+    *, N: int, gain_limit: float = 1e8,
 ):
     k_rev = pl.program_id(1)  # 0 .. N-1, step index from the end
 
@@ -149,6 +149,12 @@ def _kernel(
     K = -_chol_solve_mat(L, _mT(Qxu))
     d = _chol_solve_mat(L, Qu[:, None])[:, 0]
     d = -d
+    # gain-magnitude guard (SolverOptions.bp_gain_limit): finite-but-
+    # singular factorizations must fail → retry, not hard-abort downstream
+    fail_k = fail_k | jnp.logical_not(
+        (jnp.max(jnp.abs(K), axis=(0, 1)) <= gain_limit)
+        & (jnp.max(jnp.abs(d), axis=0) <= gain_limit)
+    )
 
     # CalcCostToGo (`knot_point_function_type.hpp:220-230`)
     KtQuu = _mm(_mT(K), Quu)
@@ -178,7 +184,7 @@ def _kernel(
         failed_ref[0] = fail_scr[...]
 
 
-def riccati_pallas(exp: dict, rho, *, interpret: bool = False):
+def riccati_pallas(exp: dict, rho, *, interpret: bool = False, gain_limit: float = 1e8):
     """Run the backward sweep; same contract as `riccati_scan`.
 
     exp: dict with A [N,n,n,B], B [N,n,m,B], lxx/lxu/luu/lx/lu stacked
@@ -255,7 +261,7 @@ def riccati_pallas(exp: dict, rho, *, interpret: bool = False):
         pltpu.VMEM((SUB, LANE), jnp.int32),
     ]
 
-    kernel = functools.partial(_kernel, N=N)
+    kernel = functools.partial(_kernel, N=N, gain_limit=float(gain_limit))
     K, d, dV1, dV2, failed = pl.pallas_call(
         kernel,
         grid=(nt, N),

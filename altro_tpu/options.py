@@ -85,6 +85,34 @@ class SolverOptions:
     # gradient cross tolerance); 0 disables.
     max_stall_iterations: int = 10
 
+    # Whether a FEASIBLE instance whose inner solve stall-exited terminates
+    # the outer loop as SOLVED_STALLED (True), or keeps escalating the
+    # penalty until the inner solve genuinely converges (False — closer to
+    # the reference, whose outer loop only stops at viol<tol AND inner
+    # kSolved, `al_solver.hpp:369-401`).  The r3 straggler diagnosis
+    # (perf/diagnose_stragglers.out) shows the stalled-feasible instances DO
+    # reach SOLVED in f32 once the penalty hits ~1e7-1e8: the larger AL
+    # terms lift the cost landscape out of the f32 line-search floor.  With
+    # False, an instance that still can't converge exits at the penalty/
+    # iteration caps and is labeled SOLVED_STALLED (never worse than the
+    # True behavior).  The compacted solver's tail phase sets False
+    # (CompactedALSolver finish_stalled) to drive fleets to 100% SOLVED.
+    stalled_feasible_exits: bool = True
+
+    # Gain-magnitude guard on the backward pass (r4).  A finite-but-
+    # numerically-singular regularized Quu passes the Cholesky NaN check
+    # (Eigen LLT has the same hole: only non-positive pivots fail,
+    # `knot_point_function_type.hpp:197-211`) and yields astronomically
+    # large K/d; every line-search rollout then trips the divergence guard
+    # and the solve hard-aborts with STATE_LIMIT instead of retrying — the
+    # quadrotor order-dependent failure signature (see
+    # perf/quadrotor_path_stability.out).  Gains above this bound can never
+    # produce an accepted step (the rollout guard fires at
+    # ‖x‖ > state_max = 1e8 first), so treating them as backward-pass
+    # failure is semantics-preserving: the pass retries with increased
+    # regularization exactly as for an explicit Cholesky failure.
+    bp_gain_limit: float = 1e8
+
     # Matmul precision for solver math.  TPU f32 matmuls default to bf16
     # passes, which destroys Riccati/Cholesky conditioning; "highest" forces
     # full f32 accumulation.  The solver's matrices are tiny (n,m ≤ ~12 per

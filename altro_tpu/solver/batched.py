@@ -348,27 +348,33 @@ class ALSolverBatched:
     (`perf/benchmark_unicycle.cpp:45-75`).  Every reference cone plus the
     SOC extension is handled (the cone algebra lives in `_al_terms` /
     `soc_project_bl` / `soc_jacobian_bl`, mirroring the reference's uniform
-    cone handling, `constraint.hpp:28-122`).  Remaining restriction vs the
-    general solver (satisfied by the shipped problem families): a single
-    dynamics family with knot-shared params built by `discretize()`.
-    Per-instance params disable the fused forward Pallas kernel
-    (its SMEM param streaming is built for shared shapes) but keep the full
-    batch-last scan path.
+    cone handling, `constraint.hpp:28-122`).  Heterogeneous dynamics —
+    multiple model families and/or per-knot dynamics params, the
+    reference's distinct-model-per-knot container (`problem.hpp:159-183`)
+    — run on the scan path via per-knot `lax.switch` dispatch and
+    per-family Jacobian scatter (r4); a single shared `discretize()` family
+    keeps the dispatch-free fast path and Pallas-kernel eligibility.
+    Per-instance params run on the fused Pallas kernels too (streamed as
+    VMEM tiles, specialized per signature — `ForwardKernel.param_sig`);
+    only layouts the kernels cannot stream (per-knot AND per-instance cost
+    params) fall back to the batch-last XLA scans.
     """
 
     def __init__(self, prob: CompiledProblem, opts: SolverOptions = None):
         self.prob = prob
         self.opts = opts or SolverOptions()
-        if len(prob.dynamics_families) != 1:
-            raise NotImplementedError(
-                "batched solver requires a single dynamics family"
-            )
-        fam = prob.dynamics_families[0]
-        if not fam.shared:
-            raise NotImplementedError(
-                "batched solver requires shared dynamics params"
-            )
-        self._dyn = fam
+        # r4: heterogeneous dynamics supported on the scan path.  A single
+        # shared family keeps the dispatch-free fast paths (the shipped
+        # problems; also the Pallas-kernel eligibility condition); multiple
+        # families / per-knot dynamics params route through the per-knot
+        # `lax.switch` dispatch (`_dyn_step_k`) and per-family Jacobian
+        # scatter (`dyn_jacobian_all`) — parity with the reference's
+        # distinct-model-per-knot container (`problem.hpp:159-183`).
+        self._dyn = prob.dynamics_families[0]
+        self._dyn_single = (
+            len(prob.dynamics_families) == 1
+            and prob.dynamics_families[0].shared
+        )
         # Pallas kernels compile for the TPU; off-TPU (CPU tests/CI) the
         # same kernels run in interpret mode so the exact shipped kernel
         # configuration is executable everywhere.
@@ -458,19 +464,24 @@ class ALSolverBatched:
         )
 
     def _use_kernel(self, kern, params: ProblemParams, Z: BatchedTrajectory) -> bool:
-        canon = self.prob.params
-        return (
-            kern is not None
-            and Z.X.dtype == kern.dtype
-            and Z.X.shape[-1] % kern.tile == 0
-            # the kernel streams problem params through SMEM at build-time
-            # shapes: per-instance (trailing-batch) cost/constraint/dynamics
-            # params fall back to the XLA scans (x0 may vary freely)
-            and not any_batched(
-                (canon.dynamics, canon.costs, canon.constraints),
-                (params.dynamics, params.costs, params.constraints),
-            )
-        )
+        if (
+            kern is None
+            or Z.X.dtype != kern.dtype
+            or Z.X.shape[-1] % kern.tile != 0
+        ):
+            return False
+        # r4: per-instance (trailing-batch) cost/constraint/dynamics params
+        # stream as VMEM tiles — the kernel specializes per signature
+        # (`ForwardKernel.param_sig`).  Only layouts the kernel cannot
+        # stream (e.g. per-knot AND per-instance cost params) fall back to
+        # the XLA scans.
+        from ..ops.forward_pallas import Ineligible
+
+        try:
+            kern.param_sig(params)
+        except Ineligible:
+            return False
+        return True
 
     def _use_fwd(self, params: ProblemParams, Z: BatchedTrajectory) -> bool:
         return self._use_kernel(self._fwd, params, Z)
@@ -491,101 +502,188 @@ class ALSolverBatched:
         return Zbar, valid, status, J
 
     # -------------------------------------------------------- model kernels
-    def _dyn_baxes(self, params):
-        """vmap axes for possibly per-instance dynamics params."""
-        return batch_axes(self.prob.params.dynamics[0], params)
-
-    def _cont_f(self, params, x, u, t):
+    def _cont_f_fam(self, fam, canon, fp, x, u, t):
         """Continuous dynamics, batch-last: x [n, B] -> xdot [n, B]."""
-        fn = self._dyn.model.continuous_fn
+        fn = fam.model.continuous_fn
         return jax.vmap(
-            fn, in_axes=(self._dyn_baxes(params), -1, -1, None), out_axes=-1
-        )(params, x, u, t)
+            fn, in_axes=(batch_axes(canon, fp), -1, -1, None), out_axes=-1
+        )(fp, x, u, t)
 
-    def _cont_jac(self, params, x, u, t):
-        fn = self._dyn.model.continuous_fn
+    def _cont_jac_fam(self, fam, canon, fp, x, u, t):
+        fn = fam.model.continuous_fn
         jac = jax.jacfwd(fn, argnums=(1, 2))
         A, Bc = jax.vmap(
-            jac, in_axes=(self._dyn_baxes(params), -1, -1, None), out_axes=-1
-        )(params, x, u, t)
+            jac, in_axes=(batch_axes(canon, fp), -1, -1, None), out_axes=-1
+        )(fp, x, u, t)
         return A, Bc  # [n, n, B], [n, m, B]
 
-    def dyn_step(self, params, x, u, t, h):
-        """One discrete step, batch-last (x [n,B] -> [n,B])."""
-        method = self._dyn.model.method
+    def dyn_step_fam(self, fam, canon, fp, x, u, t, h):
+        """One discrete step of one family, batch-last (x [n,B] -> [n,B])."""
+        method = fam.model.method if fam.model is not None else None
         if method == "rk4":
-            f = self._cont_f
-            k1 = f(params, x, u, t)
-            k2 = f(params, x + 0.5 * h * k1, u, t + 0.5 * h)
-            k3 = f(params, x + 0.5 * h * k2, u, t + 0.5 * h)
-            k4 = f(params, x + h * k3, u, t + h)
+            f = lambda p, x, u, t: self._cont_f_fam(fam, canon, p, x, u, t)
+            k1 = f(fp, x, u, t)
+            k2 = f(fp, x + 0.5 * h * k1, u, t + 0.5 * h)
+            k3 = f(fp, x + 0.5 * h * k2, u, t + 0.5 * h)
+            k4 = f(fp, x + h * k3, u, t + h)
             return x + h * (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
         if method == "euler":
-            return x + h * self._cont_f(params, x, u, t)
+            return x + h * self._cont_f_fam(fam, canon, fp, x, u, t)
         # generic discrete fn fallback
         return jax.vmap(
-            self._dyn.fn,
-            in_axes=(self._dyn_baxes(params), -1, -1, None, None),
+            fam.fn,
+            in_axes=(batch_axes(canon, fp), -1, -1, None, None),
             out_axes=-1,
-        )(params, x, u, t, h)
+        )(fp, x, u, t, h)
 
-    def dyn_jacobian_all(self, params, Z: BatchedTrajectory):
-        """Discrete Jacobians A [N,n,n,B], Bd [N,n,m,B] for all segments.
+    def dyn_step(self, params, x, u, t, h):
+        """Single-shared-family discrete step (the fast path's signature:
+        `params` is that family's param pytree)."""
+        return self.dyn_step_fam(
+            self._dyn, self.prob.params.dynamics[0], params, x, u, t, h
+        )
+
+    def _dyn_step_k(self, params: ProblemParams, k, x, u, t, h):
+        """Per-knot dynamics dispatch for heterogeneous problems: `k` is the
+        traced segment index; families switch via the precomputed
+        `dyn_fam_id` / `dyn_idx_in_fam` tables (`CompiledProblem`), with
+        per-knot (stacked) family params row-extracted inside the branch."""
+        fams = self.prob.dynamics_families
+        ix = jnp.asarray(self.prob.dyn_idx_in_fam)[k]
+
+        def make_branch(fam, canon, fp):
+            def br(ixx):
+                if fam.shared:
+                    return self.dyn_step_fam(fam, canon, fp, x, u, t, h)
+                canon_row = jax.tree_util.tree_map(lambda l: l[0], canon)
+                fp_row = jax.tree_util.tree_map(lambda l: l[ixx], fp)
+                return self.dyn_step_fam(fam, canon_row, fp_row, x, u, t, h)
+
+            return br
+
+        branches = [
+            make_branch(fam, self.prob.params.dynamics[fj], params.dynamics[fj])
+            for fj, fam in enumerate(fams)
+        ]
+        if len(branches) == 1:
+            return branches[0](ix)
+        fid = jnp.asarray(self.prob.dyn_fam_id)[k]
+        return jax.lax.switch(fid, branches, ix)
+
+    def _step_dispatch(self, params: ProblemParams, k, x, u, t, h):
+        """Rollout step: dispatch-free for the single-shared-family case."""
+        if self._dyn_single:
+            return self.dyn_step(params.dynamics[0], x, u, t, h)
+        return self._dyn_step_k(params, k, x, u, t, h)
+
+    def _fam_jacobian(self, fam, canon, fp, X, U, t, h):
+        """Discrete Jacobians A [K,n,n,B], Bd [K,n,m,B] over a knot subset
+        of one family.
 
         Explicit RK4/Euler chain rule in batch-last einsums — identical math
         to `integration.hpp:132-169` (verified equal to AD of the step).
+        Stacked (per-knot) family params map the outer knot vmap; shared
+        params broadcast; per-instance trailing-batch leaves vmap inside
+        (`batch_axes`).
         """
-        N = Z.U.shape[0]
-        n = Z.X.shape[1]
-        Bsz = Z.X.shape[-1]
-        dt = Z.X.dtype
-        method = self._dyn.model.method
-        X, U = Z.X[:-1], Z.U
-        t = Z.t[:-1]
-        h = Z.h  # [N]
+        n = X.shape[1]
+        dt = X.dtype
+        method = fam.model.method if fam.model is not None else None
+        if fam.shared:
+            canon_row, pax = canon, None
+        else:
+            canon_row = jax.tree_util.tree_map(lambda l: l[0], canon)
+            pax = 0
 
-        # evaluate over knots and batch: double vmap (knot axis 0, batch -1)
-        def over_knots(fn):
-            return jax.vmap(fn, in_axes=(None, 0, 0, 0), out_axes=0)
+        def cont_f(p, x, u, tt):
+            return jax.vmap(
+                fam.model.continuous_fn,
+                in_axes=(batch_axes(canon_row, p), -1, -1, None),
+                out_axes=-1,
+            )(p, x, u, tt)
 
-        cont_f = over_knots(self._cont_f)
-        cont_jac = over_knots(self._cont_jac)
+        def cont_jac_1(p, x, u, tt):
+            jac = jax.jacfwd(fam.model.continuous_fn, argnums=(1, 2))
+            return jax.vmap(
+                jac,
+                in_axes=(batch_axes(canon_row, p), -1, -1, None),
+                out_axes=-1,
+            )(p, x, u, tt)
 
-        hk = h[:, None, None]  # for [N, n, B] ops
-        hm = h[:, None, None, None]  # for [N, n, n, B] ops
+        if method not in ("rk4", "euler"):
+            # generic: AD of the discrete step, double-vmapped
+            jac = jax.jacfwd(fam.fn, argnums=(1, 2))
+
+            def jb(p, x, u, tt, hh):
+                return jax.vmap(
+                    jac,
+                    in_axes=(batch_axes(canon_row, p), -1, -1, None, None),
+                    out_axes=-1,
+                )(p, x, u, tt, hh)
+
+            return jax.vmap(jb, in_axes=(pax, 0, 0, 0, 0), out_axes=0)(
+                fp, X, U, t, h
+            )
+
+        over = lambda fn: jax.vmap(fn, in_axes=(pax, 0, 0, 0), out_axes=0)
+        cf = over(cont_f)
+        cj = over(cont_jac_1)
+
+        hk = h[:, None, None]  # for [K, n, B] ops
+        hm = h[:, None, None, None]  # for [K, n, n, B] ops
         eye = jnp.eye(n, dtype=dt)[None, :, :, None]
 
         if method == "euler":
-            Ac, Bc = cont_jac(params, X, U, t)
+            Ac, Bc = cj(fp, X, U, t)
             return eye + Ac * hm, Bc * hm
-        if method == "rk4":
-            k1 = cont_f(params, X, U, t)
-            k2 = cont_f(params, X + 0.5 * hk * k1, U, t + 0.5 * h)
-            k3 = cont_f(params, X + 0.5 * hk * k2, U, t + 0.5 * h)
-            A1, B1 = cont_jac(params, X, U, t)
-            A2, B2 = cont_jac(params, X + 0.5 * hk * k1, U, t + 0.5 * h)
-            A3, B3 = cont_jac(params, X + 0.5 * hk * k2, U, t + 0.5 * h)
-            A4, B4 = cont_jac(params, X + hk * k3, U, t + h)
-            dA1 = A1 * hm
-            dA2 = mm(A2, eye + 0.5 * dA1) * hm
-            dA3 = mm(A3, eye + 0.5 * dA2) * hm
-            dA4 = mm(A4, eye + dA3) * hm
-            A = eye + (dA1 + 2 * dA2 + 2 * dA3 + dA4) / 6.0
-            dB1 = B1 * hm
-            dB2 = B2 * hm + 0.5 * mm(A2, dB1) * hm
-            dB3 = B3 * hm + 0.5 * mm(A3, dB2) * hm
-            dB4 = B4 * hm + mm(A4, dB3) * hm
-            Bd = (dB1 + 2 * dB2 + 2 * dB3 + dB4) / 6.0
-            return A, Bd
-        # generic: AD of the discrete step, double-vmapped
-        jac = jax.jacfwd(self._dyn.fn, argnums=(1, 2))
-        jb = jax.vmap(
-            jac,
-            in_axes=(self._dyn_baxes(params), -1, -1, None, None),
-            out_axes=-1,
-        )
-        jkb = jax.vmap(jb, in_axes=(None, 0, 0, 0, 0), out_axes=0)
-        return jkb(params, X, U, t, h)
+        k1 = cf(fp, X, U, t)
+        k2 = cf(fp, X + 0.5 * hk * k1, U, t + 0.5 * h)
+        k3 = cf(fp, X + 0.5 * hk * k2, U, t + 0.5 * h)
+        A1, B1 = cj(fp, X, U, t)
+        A2, B2 = cj(fp, X + 0.5 * hk * k1, U, t + 0.5 * h)
+        A3, B3 = cj(fp, X + 0.5 * hk * k2, U, t + 0.5 * h)
+        A4, B4 = cj(fp, X + hk * k3, U, t + h)
+        dA1 = A1 * hm
+        dA2 = mm(A2, eye + 0.5 * dA1) * hm
+        dA3 = mm(A3, eye + 0.5 * dA2) * hm
+        dA4 = mm(A4, eye + dA3) * hm
+        A = eye + (dA1 + 2 * dA2 + 2 * dA3 + dA4) / 6.0
+        dB1 = B1 * hm
+        dB2 = B2 * hm + 0.5 * mm(A2, dB1) * hm
+        dB3 = B3 * hm + 0.5 * mm(A3, dB2) * hm
+        dB4 = B4 * hm + mm(A4, dB3) * hm
+        Bd = (dB1 + 2 * dB2 + 2 * dB3 + dB4) / 6.0
+        return A, Bd
+
+    def dyn_jacobian_all(self, params: ProblemParams, Z: BatchedTrajectory):
+        """Discrete Jacobians A [N,n,n,B], Bd [N,n,m,B] for all segments.
+
+        Heterogeneous problems compute each family's Jacobians on its own
+        (static) knot subset and scatter into the full arrays — knot-point
+        parallelism per family, no per-step dispatch.
+        """
+        fams = self.prob.dynamics_families
+        if self._dyn_single:
+            return self._fam_jacobian(
+                fams[0], self.prob.params.dynamics[0], params.dynamics[0],
+                Z.X[:-1], Z.U, Z.t[:-1], Z.h,
+            )
+        N = Z.U.shape[0]
+        n = Z.X.shape[1]
+        m = Z.U.shape[1]
+        Bsz = Z.X.shape[-1]
+        dt = Z.X.dtype
+        A = jnp.zeros((N, n, n, Bsz), dt)
+        Bd = jnp.zeros((N, n, m, Bsz), dt)
+        for fj, fam in enumerate(fams):
+            ks = fam.knots  # static indices
+            Af, Bf = self._fam_jacobian(
+                fam, self.prob.params.dynamics[fj], params.dynamics[fj],
+                Z.X[ks], Z.U[ks], Z.t[ks], Z.h[ks],
+            )
+            A = A.at[ks].set(Af)
+            Bd = Bd.at[ks].set(Bf)
+        return A, Bd
 
     # ------------------------------------------------------- cost kernels
     def _upad(self, Z: BatchedTrajectory):
@@ -818,7 +916,7 @@ class ALSolverBatched:
             lxx = lxx.at[ks].add(Hxx)
             lxu = lxu.at[ks].add(Hxu)
             luu = luu.at[ks].add(Huu)
-        A, Bd = self.dyn_jacobian_all(params.dynamics[0], Z)
+        A, Bd = self.dyn_jacobian_all(params, Z)
         return dict(costs=costs, lx=lx, lu=lu, lxx=lxx, lxu=lxu, luu=luu, A=A, B=Bd)
 
     # ------------------------------------------------------------- backward
@@ -857,6 +955,14 @@ class ALSolverBatched:
             ]
             K = -chol_solve_mat(safe, mT(Qxu))
             d = -chol_solve_vec(safe, Qu)
+            # gain-magnitude guard (SolverOptions.bp_gain_limit): a finite-
+            # but-singular factorization yields unbounded gains; count it
+            # as failure so the retry loop regularizes instead of the
+            # forward pass hard-aborting on a diverged rollout
+            glim = self.opts.bp_gain_limit
+            fail_k = fail_k | ~(
+                jnp.max(jnp.abs(K), axis=(0, 1)) <= glim
+            ) | ~(jnp.max(jnp.abs(d), axis=0) <= glim)
             KtQuu = mm(mT(K), Quu)
             p_new = Qx + mv(KtQuu, d) + mv(mT(K), Qu) + mv(Qxu, d)
             P_new = Qxx + mm(KtQuu, K) + mm(mT(K), mT(Qxu)) + mm(Qxu, K)
@@ -939,14 +1045,17 @@ class ALSolverBatched:
 
             if exp["A"].shape[-1] % TILE == 0:
                 sweep = lambda e, r: riccati_pallas(
-                    e, r, interpret=self._interpret
+                    e, r, interpret=self._interpret,
+                    gain_limit=self.opts.bp_gain_limit,
                 )
             else:
                 sweep = self.riccati_scan
         elif opts.backward_pass == "pscan":
             from .pscan_batched import riccati_pscan_batched
 
-            sweep = riccati_pscan_batched
+            sweep = lambda e, r: riccati_pscan_batched(
+                e, r, gain_limit=opts.bp_gain_limit
+            )
         else:
             sweep = self.riccati_scan
         N = exp["A"].shape[0]
@@ -993,12 +1102,14 @@ class ALSolverBatched:
         x0 = x0.astype(Z.X.dtype)
 
         def step(x, inp):
-            u, t, h = inp
-            xn = self.dyn_step(params.dynamics[0], x, u, t, h)
+            k, u, t, h = inp
+            xn = self._step_dispatch(params, k, x, u, t, h)
             return xn, xn
 
+        N = Z.U.shape[0]
         _, Xn = jax.lax.scan(
-            step, x0, (Z.U, Z.t[:-1], Z.h), unroll=self.opts.scan_unroll
+            step, x0, (jnp.arange(N), Z.U, Z.t[:-1], Z.h),
+            unroll=self.opts.scan_unroll,
         )
         return dataclasses.replace(Z, X=jnp.concatenate([x0[None], Xn], axis=0))
 
@@ -1014,9 +1125,9 @@ class ALSolverBatched:
 
         def step(carry, inp):
             xbar, valid, status = carry
-            x_k, u_k, K_k, d_k, t_k, h_k = inp
+            k, x_k, u_k, K_k, d_k, t_k, h_k = inp
             ubar = u_k + mv(K_k, xbar - x_k) + alpha * d_k
-            xnext = self.dyn_step(params.dynamics[0], xbar, ubar, t_k, h_k)
+            xnext = self._step_dispatch(params, k, xbar, ubar, t_k, h_k)
             if opts.check_forwardpass_bounds:
                 state_ok = jnp.sqrt(jnp.sum(xnext * xnext, axis=0)) <= opts.state_max
                 ctrl_ok = jnp.sqrt(jnp.sum(ubar * ubar, axis=0)) <= opts.control_max
@@ -1039,8 +1150,9 @@ class ALSolverBatched:
             return (xkeep, new_valid, status), (xkeep, ubar)
 
         init = (x0, jnp.ones((Bsz,), bool), unsolved)
+        Nseg = Z.U.shape[0]
         (xf, valid, status), (Xn, Ubar) = jax.lax.scan(
-            step, init, (Z.X[:-1], Z.U, K, d, Z.t[:-1], Z.h),
+            step, init, (jnp.arange(Nseg), Z.X[:-1], Z.U, K, d, Z.t[:-1], Z.h),
             unroll=self.opts.scan_unroll,
         )
         status = jnp.where(valid, unsolved, status)
@@ -1523,11 +1635,17 @@ class ALSolverBatched:
             pen_hi = pen > opts.maximum_penalty
             outer_hi = outer >= opts.max_iterations_outer
             total_hi = stats.iterations_total >= opts.max_iterations_total
+            # stalled_feasible_exits=False: a feasible-but-stalled instance
+            # keeps escalating the penalty until its inner solve genuinely
+            # converges (see SolverOptions)
+            sat_done = sat if opts.stalled_feasible_exits else (
+                sat & inner_solved
+            )
             status = jnp.where(
                 ~inner_ok,
                 res["status"],
                 jnp.where(
-                    sat,
+                    sat_done,
                     jnp.where(
                         inner_solved,
                         jnp.int32(SolverStatus.SOLVED),
@@ -1548,7 +1666,16 @@ class ALSolverBatched:
                     ),
                 ),
             )
-            done_new = (~inner_ok) | sat | pen_hi | outer_hi | total_hi
+            if not opts.stalled_feasible_exits:
+                # a cap ending a continuing feasible-stalled instance keeps
+                # the SOLVED_STALLED label (never worse than exiting early)
+                capped = pen_hi | outer_hi | total_hi
+                status = jnp.where(
+                    inner_ok & sat & ~sat_done & capped,
+                    jnp.int32(SolverStatus.SOLVED_STALLED),
+                    status,
+                )
+            done_new = (~inner_ok) | sat_done | pen_hi | outer_hi | total_hi
             self._emit_outer_row(
                 active & ~done_new, jnp.where(active, status, c["status"]), stats
             )

@@ -63,6 +63,13 @@ class CompactedALSolver:
         chunk's slowest instance finishes.
     max_tail_rounds : tail rounds before giving up and reporting the last
         status (prevents livelock on genuinely non-converging instances).
+    finish_stalled : the tail phase runs with
+        `stalled_feasible_exits=False` and treats SOLVED_STALLED as
+        resumable, so feasible-but-stalled instances keep escalating the
+        penalty until their inner solve genuinely converges — drives the
+        fleet to 100% SOLVED (r3 left 2/4096 SOLVED_STALLED; their
+        diagnosed fix is exactly this escalation,
+        perf/diagnose_stragglers.out).
 
     After each `solve`, `self.telemetry` holds phase wall times, straggler
     counts per round, and the iteration-count distribution — the data that
@@ -79,6 +86,7 @@ class CompactedALSolver:
         tail_batch: int = 1024,
         tail_iters: int = 0,
         max_tail_rounds: int = 8,
+        finish_stalled: bool = True,
     ):
         self.prob = prob
         self.opts = opts or SolverOptions()
@@ -86,6 +94,7 @@ class CompactedALSolver:
         self.tail_batch = int(tail_batch)
         self.tail_iters = int(tail_iters)
         self.max_tail_rounds = int(max_tail_rounds)
+        self.finish_stalled = bool(finish_stalled)
         self.telemetry: dict = {}
 
         # Phases never update duals from a capped (unconverged) inner solve —
@@ -103,6 +112,8 @@ class CompactedALSolver:
             initial_penalty=0.0,
             update_duals_on_failed_inner=False,
         )
+        if self.finish_stalled:
+            tail_opts = tail_opts.replace(stalled_feasible_exits=False)
         if self.tail_iters > 0:
             tail_opts = tail_opts.replace(
                 max_iterations_total=min(
@@ -140,8 +151,13 @@ class CompactedALSolver:
             "phase1_s": _time.perf_counter() - t0,
             "tail_rounds": [],
         }
+        resumable = _RESUMABLE
+        if self.finish_stalled:
+            # stall-exited feasible instances re-enter the tail, whose
+            # stalled_feasible_exits=False config escalates them to SOLVED
+            resumable = resumable + (SolverStatus.SOLVED_STALLED,)
         status = np.asarray(res["status"])
-        undone = np.isin(status, np.asarray(_RESUMABLE, status.dtype))
+        undone = np.isin(status, np.asarray(resumable, status.dtype))
         rounds = 0
         while undone.any() and rounds < self.max_tail_rounds:
             rounds += 1
@@ -234,7 +250,7 @@ class CompactedALSolver:
                 )
             jax.block_until_ready(res["status"])
             status = np.asarray(res["status"])
-            undone = np.isin(status, np.asarray(_RESUMABLE, status.dtype))
+            undone = np.isin(status, np.asarray(resumable, status.dtype))
             if self.tail_iters == 0:
                 # every straggler just ran an UNCAPPED round (the full
                 # reference iteration budget): budget-exhaustion statuses

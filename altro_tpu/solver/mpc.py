@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from .._pytree import pytree_dataclass
 from ..options import SolverOptions
 from ..problem.problem import CompiledProblem, ProblemParams
-from ..types import Trajectory
+from ..types import SolverStatus, Trajectory
 from .al import ALSolver
 
 
@@ -69,7 +69,7 @@ class MPC:
         return MPCState(
             Z=Z0,
             al=al,
-            status=jnp.int32(1),
+            status=jnp.int32(int(SolverStatus.UNSOLVED)),
             iterations=jnp.zeros((), jnp.int32),
         )
 
@@ -90,6 +90,47 @@ class MPC:
             iterations=res.stats.iterations_total,
         )
         return u0, new_state
+
+    def rollout_ticks(self, state: MPCState, x0, plant_fn, n_ticks: int):
+        """Run `n_ticks` warm-started MPC ticks as ONE on-device program.
+
+        `plant_fn(x, u) -> x_next` is the simulated vehicle closing the
+        loop.  Returns `(final_state, x_final, X_hist, U_hist)` where the
+        histories have a leading tick axis.  The whole chain is one jitted
+        `lax.scan` — one host dispatch total — so wall / n_ticks is the
+        amortized DEVICE latency of a control tick, free of per-call
+        dispatch RTT.  This is both the measurement path
+        (perf/mpc_device_latency.py) and the deployment shape for a
+        controller that runs without the host in the loop.
+        """
+        fn = self._tick_chain(plant_fn, int(n_ticks))
+        (st, x), (X, U) = fn(state, jnp.asarray(x0))
+        return st, x, X, U
+
+    def _tick_chain(self, plant_fn, n_ticks: int):
+        key = (id(plant_fn), n_ticks)
+        cache = getattr(self, "_chains", None)
+        if cache is None:
+            cache = self._chains = {}
+        if key not in cache:
+
+            def tick(carry, _):
+                st, x = carry
+                params = self.prob.params.replace(x0=x)
+                res = self.solver.solve(params, st.Z, st.al)
+                u0 = res.Z.U[..., 0, :]
+                Zw = _shift_trajectory(res.Z) if self.shift else res.Z
+                st2 = MPCState(
+                    Z=Zw, al=res.al, status=res.status,
+                    iterations=res.stats.iterations_total,
+                )
+                xn = plant_fn(x, u0)
+                return (st2, xn), (xn, u0)
+
+            cache[key] = jax.jit(
+                lambda st, x: jax.lax.scan(tick, (st, x), None, length=n_ticks)
+            )
+        return cache[key]
 
 
 def _shift_trajectory(Z: Trajectory) -> Trajectory:
@@ -148,7 +189,7 @@ class BatchedMPC:
         return MPCState(
             Z=Zb,
             al=al,
-            status=jnp.full((B,), 1, jnp.int32),
+            status=jnp.full((B,), int(SolverStatus.UNSOLVED), jnp.int32),
             iterations=jnp.zeros((B,), jnp.int32),
         )
 
@@ -167,6 +208,41 @@ class BatchedMPC:
             iterations=res["stats"].iterations_total,
         )
         return u0, new_state
+
+    def rollout_ticks(self, state: MPCState, x0, plant_fn, n_ticks: int):
+        """Fleet analog of `MPC.rollout_ticks`: `n_ticks` lockstep fleet
+        re-solves + plant steps as ONE on-device `lax.scan` (one host
+        dispatch; amortized wall / n_ticks = device tick latency).
+        `x0` is `[n, B]`; `plant_fn(x [n,B], u [m,B]) -> [n,B]`."""
+        fn = self._tick_chain(plant_fn, int(n_ticks))
+        (st, x), (X, U) = fn(state, jnp.asarray(x0))
+        return st, x, X, U
+
+    def _tick_chain(self, plant_fn, n_ticks: int):
+        key = (id(plant_fn), n_ticks)
+        cache = getattr(self, "_chains", None)
+        if cache is None:
+            cache = self._chains = {}
+        if key not in cache:
+
+            def tick(carry, _):
+                st, x = carry
+                params = self.prob.params.replace(x0=x)
+                res = self.solver.solve(params, st.Z, st.al)
+                Zsol = res["Z"]
+                u0 = Zsol.U[0]
+                Zw = _shift_batch_last(Zsol) if self.shift else Zsol
+                st2 = MPCState(
+                    Z=Zw, al=res["al"], status=res["status"],
+                    iterations=res["stats"].iterations_total,
+                )
+                xn = plant_fn(x, u0)
+                return (st2, xn), (xn, u0)
+
+            cache[key] = jax.jit(
+                lambda st, x: jax.lax.scan(tick, (st, x), None, length=n_ticks)
+            )
+        return cache[key]
 
 
 def _shift_batch_last(Z):

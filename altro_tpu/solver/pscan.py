@@ -139,7 +139,15 @@ def backward_pass_pscan(exp: Expansions, rho, drho, opts: SolverOptions):
             exp.A, exp.B, exp.lxx[:N], exp.lxu[:N], exp.luu[:N],
             exp.lx[:N], exp.lu[:N], P[1:], p[1:],
         )
-        failed = (~jnp.all(oks)) | (~jnp.all(ok_g)) | (~jnp.all(jnp.isfinite(P)))
+        # gain-magnitude guard (SolverOptions.bp_gain_limit), NaN-safe
+        glim = opts.bp_gain_limit
+        gains_ok = (
+            jnp.max(jnp.abs(K)) <= glim
+        ) & (jnp.max(jnp.abs(d)) <= glim)
+        failed = (
+            (~jnp.all(oks)) | (~jnp.all(ok_g)) | (~jnp.all(jnp.isfinite(P)))
+            | ~gains_ok
+        )
         return K, d, P, p, dV1s.sum(), dV2s.sum(), failed
 
     def cond(state):

@@ -107,11 +107,12 @@ def _combine(e_next, e_prev):
     return (F, f, C, J, eta)
 
 
-def riccati_pscan_batched(exp: dict, rho):
+def riccati_pscan_batched(exp: dict, rho, gain_limit: float = 1e8):
     """One full backward sweep at fixed per-instance regularization rho [B].
 
     Same contract as `ALSolverBatched.riccati_scan`: returns
-    (K [N,m,n,B], d [N,m,B], dV1 [B], dV2 [B], failed [B]).
+    (K [N,m,n,B], d [N,m,B], dV1 [B], dV2 [B], failed [B]).  Gains above
+    `gain_limit` count as failure (SolverOptions.bp_gain_limit).
     """
     N = exp["A"].shape[0]
     n = exp["A"].shape[1]
@@ -167,9 +168,14 @@ def riccati_pscan_batched(exp: dict, rho):
     dV1 = dotv(d, Qu).sum(axis=0)
     dV2 = 0.5 * dotv(d, mv(Quu, d)).sum(axis=0)
 
+    # gain-magnitude guard (SolverOptions.bp_gain_limit), NaN-safe
+    gains_ok = (
+        jnp.max(jnp.abs(K), axis=(0, 1, 2)) <= gain_limit
+    ) & (jnp.max(jnp.abs(d), axis=(0, 1)) <= gain_limit)
     failed = (
         jnp.any(fail_elem, axis=0)
         | jnp.any(fail_g, axis=0)
         | ~jnp.all(jnp.isfinite(P), axis=(0, 1, 2))
+        | ~gains_ok
     )
     return K, d, dV1, dV2, failed

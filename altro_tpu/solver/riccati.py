@@ -54,12 +54,15 @@ def decrease_regularization(rho, drho, opts: SolverOptions):
     return rho, drho
 
 
-def _riccati_scan(exp: Expansions, rho):
+def _riccati_scan(exp: Expansions, rho, gain_limit: float = 1e8):
     """One full backward sweep at fixed regularization.
 
     Returns (K, d, P, p, dV1, dV2, failed).  On a non-PD regularized Quu the
     remaining (earlier-k) carry updates freeze, matching the reference's
     break-out (`ilqr.hpp:409-427`); the caller retries with larger rho.
+    Gains beyond `gain_limit` count as failure too (a finite-but-singular
+    factorization produces unbounded gains that can never yield an accepted
+    step — see SolverOptions.bp_gain_limit).
     """
     N = exp.A.shape[0]
     m = exp.B.shape[-1]
@@ -85,6 +88,10 @@ def _riccati_scan(exp: Expansions, rho):
         # Gains (`knot_point_function_type.hpp:197-211`)
         K = -cho_solve((Lsafe, True), Qxu.T)
         d = -cho_solve((Lsafe, True), Qu)
+        # NaN-safe magnitude guard: ~(x <= lim) is True for NaN/inf too
+        fail_k = fail_k | ~(
+            jnp.max(jnp.abs(K)) <= gain_limit
+        ) | ~(jnp.max(jnp.abs(d)) <= gain_limit)
         # Cost-to-go with the UNregularized action-value expansion
         # (`knot_point_function_type.hpp:220-230`)
         KtQuu = K.T @ Quu
@@ -123,7 +130,7 @@ def backward_pass(
     dt = exp.A.dtype
 
     def attempt(rho):
-        return _riccati_scan(exp, rho)
+        return _riccati_scan(exp, rho, gain_limit=opts.bp_gain_limit)
 
     def cond(state):
         _, _, _, _, _, _, failed, _, _, _, done = state

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Speed-of-light analysis of the fused forward + backward Pallas kernels.
+
+VERDICT r3 ask #7: the north star says "expansion + Riccati kernels at
+speed-of-light per chip" — this quantifies the distance.  For each kernel
+at the shipped bench shape (parking problem, N=100, B=4096, f32):
+
+  * bytes/call: exact, from the streamed block shapes (per-knot X/U/K/d/λ/ρ
+    in, X/U or K/d out; SMEM params and VMEM-resident carries are free);
+  * FLOPs/call: XLA's own cost model on the ALGORITHMICALLY IDENTICAL
+    oracle programs (`expand` + `riccati_scan`, `closed_loop_rollout` +
+    `total_cost`) via compiled.cost_analysis() — the math the kernel fuses;
+  * measured wall per call (median of reps, one dispatch per rep).
+
+Speed of light = max(bytes / HBM_BW, flops / VPU_PEAK).  v5e public specs:
+HBM 819 GB/s; VPU f32 peak estimated 8x128 lanes x 4 ALUs x 2 ops x
+0.94 GHz ≈ 7.7 TFLOP/s (marked estimate — the conclusion is insensitive
+to factors of 2 here).  Output lands in perf/roofline.out.
+
+Run on TPU: PYTHONPATH=/root/repo:$PYTHONPATH python perf/roofline.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+import bench
+from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
+
+HBM_GBPS = 819.0          # v5e public spec
+VPU_TFLOPS = 7.7          # estimate, see module docstring
+B = 4096
+
+
+def measured(fn, *args, reps=7):
+    out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        walls.append(time.perf_counter() - t0)
+    return float(np.median(walls))
+
+
+def xla_flops(jitted, *args):
+    c = jitted.lower(*args).compile()
+    ca = c.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", float("nan")))
+
+
+def main() -> None:
+    from altro_tpu.models.problems import UnicycleProblem
+
+    defn = UnicycleProblem(dtype=jnp.float32)
+    prob = defn.make_problem(add_constraints=True).compile()
+    opts = bench.bench_options()
+    solver = ALSolverBatched(prob, opts)
+    N, n, m = prob.N, prob.n, prob.m
+    rng = np.random.default_rng(0)
+    params = prob.params.replace(
+        x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, B)), jnp.float32)
+    )
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(jax.tree_util.tree_map(
+        lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0
+    ))
+    Zb = jax.jit(solver.rollout)(params, Zb)
+    al = solver.al_state_init(B, jnp.float32)
+    al_pad = solver._bwd.pad_al(al)
+    rho = jnp.zeros((B,), jnp.float32)
+    K = jnp.zeros((N, m, n, B), jnp.float32)
+    d = jnp.zeros((N, m, B), jnp.float32)
+    alpha = jnp.ones((B,), jnp.float32)
+
+    # streamed AL rows per knot (stage families only; see pad_al)
+    sum_p = sum(
+        f["p"] + 1 for f in solver._bwd._con_fams if f["stage"]
+    )
+
+    rows = []
+
+    # ---------------- backward fused kernel
+    bwd = jax.jit(lambda p, a, Z, r: solver._bwd(p, a, Z, r))
+    t_bwd = measured(bwd, params, al_pad, Zb, rho)
+    bytes_bwd = 4 * B * N * (
+        (n + m + sum_p)      # X, U, lam+rho streams in
+        + (m * n + m)        # K, d out
+    )
+    oracle_bwd = jax.jit(
+        lambda p, a, Z, r: solver.riccati_scan(solver.expand(p, a, Z), r)
+    )
+    fl_bwd = xla_flops(oracle_bwd, params, al, Zb, rho)
+    rows.append(("backward_fused", t_bwd, bytes_bwd, fl_bwd))
+
+    # ---------------- forward fused kernel
+    fwd = jax.jit(
+        lambda p, a, Z, K, d, al_: solver._fwd(
+            p, a, Z, K, d, al_, check_bounds=True
+        )
+    )
+    t_fwd = measured(fwd, params, al_pad, Zb, K, d, alpha)
+    bytes_fwd = 4 * B * N * (
+        (n + m + m * n + m + sum_p)  # X, U, K, d, lam+rho in
+        + (n + m)                    # Xnext, Ubar out
+    )
+
+    def fwd_oracle(p, a, Z, K, d, al_):
+        Zb2, valid, status = solver.closed_loop_rollout(p, Z, K, d, al_)
+        return solver.total_cost(p, a, Zb2), Zb2
+
+    fl_fwd = xla_flops(jax.jit(fwd_oracle), params, al, Zb, K, d, alpha)
+    rows.append(("forward_fused", t_fwd, bytes_fwd, fl_fwd))
+
+    for name, t, nbytes, fl in rows:
+        t_hbm = nbytes / (HBM_GBPS * 1e9)
+        t_vpu = fl / (VPU_TFLOPS * 1e12)
+        sol = max(t_hbm, t_vpu)
+        print(json.dumps({
+            "kernel": name,
+            "wall_ms": round(t * 1e3, 4),
+            "bytes_streamed_MB": round(nbytes / 2**20, 2),
+            "xla_flops_G": round(fl / 1e9, 3),
+            "hbm_bound_ms": round(t_hbm * 1e3, 4),
+            "vpu_bound_ms": round(t_vpu * 1e3, 4),
+            "speed_of_light_ms": round(sol * 1e3, 4),
+            "pct_of_sol": round(100 * sol / t, 1),
+            "attained_GBps": round(nbytes / t / 1e9, 1),
+            "attained_GFLOPs": round(fl / t / 1e9, 1),
+            "binding_resource": "hbm" if t_hbm > t_vpu else "vpu",
+        }), flush=True)
+    print(json.dumps({
+        "note": (
+            "per-grid-step work is tiny (1024 lanes x ~1k flops) and the "
+            "time axis is sequential: the gap to SOL is grid-step latency, "
+            "not bandwidth or compute; the lever is more lanes per step "
+            "(B=8192 shows 19% per-instance headroom, "
+            "perf/profile_batch_scaling.out)"
+        ),
+        "assumptions": {
+            "HBM_GBps": HBM_GBPS, "VPU_TFLOPS_estimate": VPU_TFLOPS,
+            "flop_source": "XLA cost_analysis of the oracle programs",
+        },
+        "device": str(jax.devices()[0]),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,36 @@ def test_max_total_iterations_reported():
     res = jax.jit(solver.solve)(prob.params, Zb)
     status = np.asarray(res["status"])
     assert np.all(status == int(SolverStatus.MAX_ITERATIONS)), status
+
+
+def test_stalled_feasible_exit_vs_escalation():
+    """stalled_feasible_exits semantics (r4, VERDICT #4).
+
+    Force a feasible-but-stalled inner solve: cost_tolerance huge (dJ is
+    always below it, so the stall counter fires immediately) while
+    gradient_tolerance is unreachable.  With the default True the outer
+    loop exits SOLVED_STALLED on the first feasible check; with False it
+    keeps escalating the penalty, and when the caps end it the label is
+    still SOLVED_STALLED — never MAX_PENALTY/MAX_OUTER_ITERATIONS
+    (`solver/batched.py` outer ladder).
+    """
+    kw = dict(
+        cost_tolerance=1e9,
+        gradient_tolerance=1e-30,
+        constraint_tolerance=1e9,
+        max_stall_iterations=2,
+        max_iterations_outer=4,
+    )
+    solver, prob, Zb = _parking(**kw)
+    res = jax.jit(solver.solve)(prob.params, Zb)
+    status = np.asarray(res["status"])
+    assert np.all(status == int(SolverStatus.SOLVED_STALLED)), status
+    outer_true = np.asarray(res["stats"].iterations_outer)
+
+    solver2, prob2, Zb2 = _parking(stalled_feasible_exits=False, **kw)
+    res2 = jax.jit(solver2.solve)(prob2.params, Zb2)
+    status2 = np.asarray(res2["status"])
+    assert np.all(status2 == int(SolverStatus.SOLVED_STALLED)), status2
+    outer_false = np.asarray(res2["stats"].iterations_outer)
+    # the escalating config kept going past the first feasible check
+    assert np.all(outer_false > outer_true), (outer_false, outer_true)

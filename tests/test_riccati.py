@@ -75,3 +75,36 @@ def test_regularization_gives_up():
     bp = riccati.backward_pass(exp_bad, jnp.zeros(()), jnp.zeros(()), opts)
     assert bool(bp.failed)
     assert int(bp.status) == SolverStatus.BACKWARD_PASS_REGULARIZATION_FAILED
+
+
+def test_gain_limit_guard_triggers_retry(uni_exp):
+    """A finite-but-numerically-singular Quu passes the NaN-only Cholesky
+    check (`jnp.linalg.cholesky` of a tiny-positive matrix is finite) and
+    would emit astronomically large gains; the r4 gain-magnitude guard
+    (SolverOptions.bp_gain_limit) counts it as failure so the retry loop
+    regularizes instead (the quadrotor order-dependent-failure fix, see
+    perf/quadrotor_path_stability.py)."""
+    solver, exp = uni_exp
+    # make every Quu tiny-but-positive: luu ~ 1e-30 I and B scaled so the
+    # BᵀPB term cannot rescue conditioning — Cholesky stays FINITE
+    m = exp.luu.shape[-1]
+    sick = exp.replace(
+        luu=jnp.broadcast_to(jnp.eye(m) * 1e-30, exp.luu.shape),
+        B=exp.B * 1e-15,
+    )
+    z = jnp.zeros(())
+    # pre-guard sweep at rho=0: NO failure flagged despite garbage gains —
+    # the structural hole
+    K, d, *_, failed = riccati._riccati_scan(sick, z, gain_limit=jnp.inf)
+    assert not bool(failed)
+    big = max(float(jnp.max(jnp.abs(K))), float(jnp.max(jnp.abs(d))))
+    assert big > 1e8, big
+    # guarded sweep flags it ...
+    *_, failed_g = riccati._riccati_scan(sick, z, gain_limit=1e8)
+    assert bool(failed_g)
+    # ... and the full retry loop recovers via regularization
+    bp = riccati.backward_pass(sick, z, z, solver.opts)
+    assert not bool(bp.failed)
+    assert float(jnp.max(jnp.abs(bp.K))) <= solver.opts.bp_gain_limit
+    assert float(jnp.max(jnp.abs(bp.d))) <= solver.opts.bp_gain_limit
+    assert float(bp.rho) > 0.0

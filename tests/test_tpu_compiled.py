@@ -86,7 +86,7 @@ def test_parity_metric_at_reference_test_config(parking):
     from altro_tpu import SolverStatus
 
     defn, prob = parking
-    res = bench.parity_solve(prob, defn, batch=1024)
+    res, _ = bench.parity_solve(prob, defn, batch=1024)
     assert int(np.asarray(res["status"][0])) == int(SolverStatus.SOLVED)
     U_ref, X_ref, J_ref = bench.load_reference_golden(
         "unicycle_turn90_refsolve_f64_tol6.npz"
