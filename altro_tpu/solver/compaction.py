@@ -70,6 +70,15 @@ class CompactedALSolver:
         fleet to 100% SOLVED (r3 left 2/4096 SOLVED_STALLED; their
         diagnosed fix is exactly this escalation,
         perf/diagnose_stragglers.out).
+    f64_polish : after the tail rounds, re-solve any still-unconverged
+        instances in FLOAT64 on the scan path (fresh duals, warm-started
+        from their f32 trajectories, reference-default line search).
+        Measured motivation (perf/obstacle_f32_floor.out): ~11% of the
+        perturbed three-obstacle fleet ends MAX_PENALTY in f32 while every
+        such instance solves outright in f64 — the failures are an f32
+        precision floor, not algorithmic.  Zero-cost when the f32 phases
+        already solved everything (the parking fleet).
+    polish_batch : lane width of the f64 polish phase.
 
     After each `solve`, `self.telemetry` holds phase wall times, straggler
     counts per round, and the iteration-count distribution — the data that
@@ -87,6 +96,8 @@ class CompactedALSolver:
         tail_iters: int = 0,
         max_tail_rounds: int = 8,
         finish_stalled: bool = True,
+        f64_polish: bool = False,
+        polish_batch: int = 512,
     ):
         self.prob = prob
         self.opts = opts or SolverOptions()
@@ -95,6 +106,9 @@ class CompactedALSolver:
         self.tail_iters = int(tail_iters)
         self.max_tail_rounds = int(max_tail_rounds)
         self.finish_stalled = bool(finish_stalled)
+        self.f64_polish = bool(f64_polish)
+        self.polish_batch = int(polish_batch)
+        self._polish_solve = None
         self.telemetry: dict = {}
 
         # Phases never update duals from a capped (unconverged) inner solve —
@@ -262,6 +276,47 @@ class CompactedALSolver:
                     "wall_s": _time.perf_counter() - t_round,
                 }
             )
+        if self.f64_polish:
+            hard = [int(s) for s in _RESUMABLE] + [int(SolverStatus.MAX_PENALTY)]
+            # stage 0 re-solves everything unconverged (incl. stalled);
+            # stage 1 retries only remaining HARD failures with a gentler
+            # x4 penalty ladder (more dual updates per decade) — it must
+            # not touch stalled-feasible results, which the x10 ladder
+            # serves better (measured both ways on the seed-0 residue)
+            stages = [
+                (hard + [int(SolverStatus.SOLVED_STALLED)], {}),
+                (hard, dict(
+                    penalty_scaling=4.0,
+                    max_iterations_outer=60,
+                    max_iterations_total=900,
+                )),
+            ]
+            stage_tel = []
+            for si, (codes, extra) in enumerate(stages):
+                bad = np.isin(
+                    np.asarray(res["status"]), np.asarray(codes, np.int32)
+                )
+                if not bad.any():
+                    continue
+                t_p = _time.perf_counter()
+                n_bad = int(bad.sum())
+                self._run_polish(params, res, np.nonzero(bad)[0], Z, si, extra)
+                jax.block_until_ready(res["status"])
+                stage_tel.append(
+                    {"stage": si, "instances": n_bad,
+                     "wall_s": _time.perf_counter() - t_p}
+                )
+            if stage_tel:
+                st = np.asarray(res["status"])
+                tel["polish"] = {
+                    "instances": stage_tel[0]["instances"],
+                    "stages": stage_tel,
+                    "wall_s": sum(s["wall_s"] for s in stage_tel),
+                    "solved_after": int(
+                        np.sum(st == int(SolverStatus.SOLVED))
+                    ),
+                }
+
         it = np.asarray(res["stats"].iterations_total)
         tel["iters_p50"] = float(np.percentile(it, 50))
         tel["iters_p95"] = float(np.percentile(it, 95))
@@ -270,3 +325,105 @@ class CompactedALSolver:
         tel["total_s"] = _time.perf_counter() - t0
         self.telemetry = tel
         return res
+
+    # ------------------------------------------------------------ f64 polish
+    def _run_polish(self, params, res, idx_all, Z0, stage, extra_opts):
+        """Re-solve instances `idx_all` in f64 (scan path, fresh duals,
+        fresh start from the ORIGINAL initial guess `Z0` — matching the
+        oracle experiment that established every f32 failure solves in f64;
+        warm-starting from the failed f32 trajectory converts fewer, its
+        high-penalty shape traps the solve) and splice the results back
+        into `res` in place.  See the `f64_polish` constructor doc."""
+        enable_x64 = jax.enable_x64
+
+        pb = min(self.polish_batch, max(len(idx_all), 1))
+        f32 = res["Z"].X.dtype
+
+        def cast64(leaf):
+            leaf = jnp.asarray(leaf)
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                return leaf.astype(jnp.float64)
+            return leaf
+
+        with enable_x64():
+            if self._polish_solve is None:
+                self._polish_solve = {}
+            if stage not in self._polish_solve:
+                popts = self.opts.replace(
+                    backward_pass="scan",
+                    forward_pass="scan",
+                    line_search_max_iterations=20,
+                    max_stall_iterations=10,
+                    stalled_feasible_exits=False,
+                    reset_duals=True,
+                    **extra_opts,
+                )
+                self._polish_solve[stage] = jax.jit(
+                    ALSolverBatched(self.prob, popts).solve
+                )
+            for start in range(0, len(idx_all), pb):
+                chunk = idx_all[start : start + pb]
+                npad = pb - len(chunk)
+                if npad > 0:
+                    idx = np.concatenate([chunk, np.full(npad, chunk[0])])
+                    real = jnp.asarray(
+                        np.concatenate(
+                            [np.ones(len(chunk), np.int32),
+                             np.zeros(npad, np.int32)]
+                        )
+                    )
+                else:
+                    idx = chunk
+                    real = jnp.ones((pb,), jnp.int32)
+                idx_j = jnp.asarray(idx)
+                params_t = jax.tree_util.tree_map(
+                    lambda c, leaf: cast64(
+                        jnp.asarray(leaf)[..., idx_j]
+                        if jnp.ndim(leaf) == jnp.ndim(c) + 1
+                        else leaf
+                    ),
+                    self.prob.params,
+                    params,
+                )
+                Zf = self._gather_Z(Z0, idx_j)
+                Z_t = dataclasses.replace(
+                    Zf, X=cast64(Zf.X), U=cast64(Zf.U),
+                    t=cast64(Zf.t), h=cast64(Zf.h),
+                )
+                sub = self._polish_solve[stage](params_t, Z_t)
+                res["Z"] = dataclasses.replace(
+                    res["Z"],
+                    X=res["Z"].X.at[..., idx_j].set(sub["Z"].X.astype(f32)),
+                    U=res["Z"].U.at[..., idx_j].set(sub["Z"].U.astype(f32)),
+                )
+                res["al"] = jax.tree_util.tree_map(
+                    lambda leaf, s: leaf.at[..., idx_j].set(
+                        s.astype(leaf.dtype)
+                    ),
+                    res["al"], sub["al"],
+                )
+                res["K"] = res["K"].at[..., idx_j].set(sub["K"].astype(f32))
+                res["d"] = res["d"].at[..., idx_j].set(sub["d"].astype(f32))
+                res["status"] = res["status"].at[idx_j].set(sub["status"])
+                st, su = res["stats"], sub["stats"]
+                res["stats"] = st.replace(
+                    iterations_inner=st.iterations_inner.at[idx_j].set(
+                        su.iterations_inner
+                    ),
+                    iterations_outer=st.iterations_outer.at[idx_j].add(
+                        su.iterations_outer * real
+                    ),
+                    iterations_total=st.iterations_total.at[idx_j].add(
+                        su.iterations_total * real
+                    ),
+                    cost=st.cost.at[idx_j].set(su.cost.astype(f32)),
+                    gradient=st.gradient.at[idx_j].set(
+                        su.gradient.astype(f32)
+                    ),
+                    violations=st.violations.at[idx_j].set(
+                        su.violations.astype(f32)
+                    ),
+                    max_penalty=st.max_penalty.at[idx_j].set(
+                        su.max_penalty.astype(f32)
+                    ),
+                )

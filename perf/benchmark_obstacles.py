@@ -41,44 +41,60 @@ def main() -> None:
     defn = UnicycleProblem(scenario="three_obstacles", dtype=dtype)
     prob = defn.make_problem(add_constraints=True).compile()
     # the reference benchmark sets penalty 10 for this scenario
-    # (`perf/benchmark_unicycle.cpp:32`)
-    solver = bench.make_solver(prob, batch, initial_penalty=10.0)
+    # (`perf/benchmark_unicycle.cpp:32`).  The obstacle landscape needs the
+    # reference-default 20-try line search (the parking config's 6-try cap
+    # drops the fleet from ~90% to ~24% solved — measured config sweep,
+    # perf/obstacle_f32_floor.out); initial penalty 1 with the deep search
+    # is both the best-converging and fastest config of the sweep.  The f32
+    # residue (~11% MAX_PENALTY, all of which solve in f64) is finished by
+    # the f64 polish phase.
     params_b, Zb = bench.make_batch(prob, defn, batch, dtype)
+    baseline = 1000.0 / 31.768  # the reference's wall time ON THIS SCENARIO
 
-    res = solver.solve(params_b, Zb)
-    jax.block_until_ready(res["Z"].U)
-    walls = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    # two modes: pure-f32 throughput, and complete (f64 polish finishes the
+    # ~8% f32 precision-floor residue — perf/obstacle_f32_floor.out)
+    for mode, polish in (("f32_throughput", False), ("f64_complete", True)):
+        solver = bench.make_solver(
+            prob, batch, initial_penalty=1.0,
+            line_search_max_iterations=20, max_stall_iterations=10,
+        )
+        solver.f64_polish = polish
         res = solver.solve(params_b, Zb)
         jax.block_until_ready(res["Z"].U)
-        walls.append(time.perf_counter() - t0)
-    dt = float(np.median(walls))
+        walls = []
+        for _ in range(3 if polish else 5):
+            t0 = time.perf_counter()
+            res = solver.solve(params_b, Zb)
+            jax.block_until_ready(res["Z"].U)
+            walls.append(time.perf_counter() - t0)
+        dt = float(np.median(walls))
 
-    hist = bench.status_histogram(np.asarray(res["status"]))
-    iters = np.asarray(res["stats"].iterations_total)
-    # canonical element obstacle clearance (>= -1 mm per the reference test)
-    X0 = np.asarray(res["Z"].X[..., 0], np.float64)
-    clearance = np.inf
-    for cx, cy, r in zip(*defn.obstacles):
-        d = np.sqrt((X0[:, 0] - cx) ** 2 + (X0[:, 1] - cy) ** 2) - r
-        clearance = min(clearance, float(d.min()))
-    baseline = 1000.0 / 31.768  # the reference's wall time ON THIS SCENARIO
-    print(json.dumps({
-        "metric": "unicycle_three_obstacle_al_ilqr_solves_per_s_per_chip",
-        "value": round(batch / dt, 2),
-        "unit": "solves/s",
-        "vs_baseline_same_scenario": round(batch / dt / baseline, 2),
-        "batch": batch,
-        "status_hist": hist,
-        "wall_s_per_batch": round(dt, 4),
-        "wall_s_reps": [round(t, 4) for t in walls],
-        "iters_p50": float(np.percentile(iters, 50)),
-        "iters_p99": float(np.percentile(iters, 99)),
-        "iters_max": int(iters.max()),
-        "canonical_min_clearance_m": round(clearance, 5),
-        "device": str(jax.devices()[0]),
-    }))
+        hist = bench.status_histogram(np.asarray(res["status"]))
+        iters = np.asarray(res["stats"].iterations_total)
+        # canonical element obstacle clearance (>= -1 mm per the reference
+        # test, `example_unicycle_test.cpp:76-83`)
+        X0 = np.asarray(res["Z"].X[..., 0], np.float64)
+        clearance = np.inf
+        for cx, cy, r in zip(*defn.obstacles):
+            d = np.sqrt((X0[:, 0] - cx) ** 2 + (X0[:, 1] - cy) ** 2) - r
+            clearance = min(clearance, float(d.min()))
+        print(json.dumps({
+            "metric": "unicycle_three_obstacle_al_ilqr_solves_per_s_per_chip",
+            "mode": mode,
+            "value": round(batch / dt, 2),
+            "unit": "solves/s",
+            "vs_baseline_same_scenario": round(batch / dt / baseline, 2),
+            "batch": batch,
+            "status_hist": hist,
+            "wall_s_per_batch": round(dt, 4),
+            "wall_s_reps": [round(t, 4) for t in walls],
+            "iters_p50": float(np.percentile(iters, 50)),
+            "iters_p99": float(np.percentile(iters, 99)),
+            "iters_max": int(iters.max()),
+            "canonical_min_clearance_m": round(clearance, 5),
+            "f64_polish": solver.telemetry.get("polish"),
+            "device": str(jax.devices()[0]),
+        }), flush=True)
 
 
 if __name__ == "__main__":

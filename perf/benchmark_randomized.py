@@ -98,7 +98,13 @@ def main() -> None:
     dtype = jnp.float32
     defn = UnicycleProblem(scenario="three_obstacles", dtype=dtype)
     prob = defn.make_problem(add_constraints=True).compile()
-    solver = bench.make_solver(prob, batch, initial_penalty=10.0)
+    # scenario config per the measured sweep (perf/obstacle_f32_floor.out):
+    # reference-default 20-try line search; f64 polish finishes the f32
+    # precision-floor residue
+    solver = bench.make_solver(
+        prob, batch, initial_penalty=1.0,
+        line_search_max_iterations=20, max_stall_iterations=10,
+    )
     params_b, Zb, (cx, cy, rr), xf = make_randomized_fleet(
         prob, defn, batch, dtype
     )
@@ -156,6 +162,7 @@ def main() -> None:
             float((clearance_per_inst >= -1e-3).mean() * 100), 2
         ),
         "goal_err_p99": round(float(np.percentile(goal_err, 99)), 6),
+        "f64_polish": solver.telemetry.get("polish"),
         "device": str(jax.devices()[0]),
     }))
 

@@ -53,18 +53,18 @@ def synth_exp(N, rng, dtype=jnp.float32):
         return jnp.asarray(rng.normal(0.0, scale, shape), dtype)
 
     eye_n = jnp.eye(n, dtype=dtype)[None, :, :, None]
+
+    def gram(L):
+        # L Lᵀ per (k, b) as broadcast-multiply-reduce (einsum lowers to a
+        # dot_general whose TPU padding blows 64x past HBM at N=8192)
+        return (L[:, :, None, :, :] * L[:, None, :, :, :]).sum(axis=3)
+
     A = eye_n + r(N, n, n, B, scale=0.02)
     Bd = r(N, n, m, B, scale=0.05)
-    L = r(N + 1, m, m, B, scale=0.05)
-    luu = (
-        jnp.einsum("kijb,kljb->kilb", L, L)
-        + jnp.eye(m, dtype=dtype)[None, :, :, None] * 0.1
-    )
-    Lx = r(N + 1, n, n, B, scale=0.05)
-    lxx = (
-        jnp.einsum("kijb,kljb->kilb", Lx, Lx)
-        + jnp.eye(n, dtype=dtype)[None, :, :, None] * 0.1
-    )
+    luu = gram(r(N + 1, m, m, B, scale=0.05)) + jnp.eye(m, dtype=dtype)[
+        None, :, :, None
+    ] * 0.1
+    lxx = gram(r(N + 1, n, n, B, scale=0.05)) + eye_n * 0.1
     return dict(
         A=A, B=Bd, lxx=lxx,
         lxu=r(N + 1, n, m, B, scale=0.01),
@@ -74,16 +74,29 @@ def synth_exp(N, rng, dtype=jnp.float32):
     )
 
 
-def time_fn(fn, *args, reps=5):
-    out = fn(*args)
+def time_fn(fn, exp, rho, reps=5, chain=16):
+    """Amortized device timing: `chain` sweeps run inside ONE jitted
+    fori_loop with a data dependency through rho (the single-dispatch
+    protocol measures the ~30-40 ms axon tunnel RTT, not the sweep)."""
+    out = fn(exp, rho)
     jax.block_until_ready(out[0])
+
+    def chained(exp, rho):
+        def body(i, r):
+            o = fn(exp, r)
+            dep = o[1].reshape(-1)[0]  # d[0,0,0]
+            return r + jnp.where(jnp.isfinite(dep), dep * 0.0, 0.0)
+
+        return jax.lax.fori_loop(0, chain, body, rho)
+
+    cf = jax.jit(chained)
+    jax.block_until_ready(cf(exp, rho))
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out[0])
+        jax.block_until_ready(cf(exp, rho))
         walls.append(time.perf_counter() - t0)
-    return out, float(np.median(walls))
+    return out, float(np.median(walls)) / chain
 
 
 def main() -> None:
@@ -102,25 +115,32 @@ def main() -> None:
         psc = jax.jit(riccati_pscan_batched)
         pal = jax.jit(lambda e, r: riccati_pallas(e, r, interpret=False))
         (Ks, ds, *_), t_seq = time_fn(seq, exp, rho)
-        (Kp, dp, *_), t_psc = time_fn(psc, exp, rho)
+        try:
+            (Kp, dp, *_), t_psc = time_fn(psc, exp, rho)
+            err = float(jnp.max(jnp.abs(Kp - Ks)))
+        except Exception:  # HBM overflow at very long N
+            t_psc, err = None, None
         try:
             (Kl, dl, *_), t_pal = time_fn(pal, exp, rho)
             pal_err = float(jnp.max(jnp.abs(Kl - Ks)))
-        except Exception as e:  # VMEM overflow at very long N
+        except Exception:  # VMEM overflow at very long N
             t_pal, pal_err = None, None
-        err = float(jnp.max(jnp.abs(Kp - Ks)))
         row = {
             "N": N, "B": B,
             "seq_scan_ms": round(t_seq * 1e3, 3),
-            "pscan_ms": round(t_psc * 1e3, 3),
+            "pscan_ms": None if t_psc is None else round(t_psc * 1e3, 3),
             "pallas_ms": None if t_pal is None else round(t_pal * 1e3, 3),
-            "pscan_speedup_vs_seq": round(t_seq / t_psc, 3),
+            "pscan_speedup_vs_seq": (
+                None if t_psc is None else round(t_seq / t_psc, 3)
+            ),
             "pscan_K_maxerr_vs_seq": err,
             "pallas_K_maxerr_vs_seq": pal_err,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    cross = next((r["N"] for r in rows if r["pscan_speedup_vs_seq"] > 1.0), None)
+    cross = next(
+        (r["N"] for r in rows if (r["pscan_speedup_vs_seq"] or 0) > 1.0), None
+    )
     print(json.dumps({
         "summary": "pscan vs sequential Riccati sweep crossover",
         "first_N_where_pscan_wins": cross,
