@@ -129,3 +129,169 @@ class ShardedALSolver:
         statistics can't silently absorb non-convergence.
         """
         return self._solve(params, Z)
+
+
+class ShardedBatchedALSolver:
+    """LANE-MAJOR batched AL-iLQR sharded over a device mesh (the
+    production multi-chip path, r4).
+
+    `ShardedALSolver` vmaps the per-instance solver (batch-LEADING layout —
+    correct, and the multihost-tested path, but ~500x off the lane-major
+    throughput, see `solver/batched.py`).  This class instead runs the full
+    batch-native `ALSolverBatched` — Pallas kernels included — on each
+    device's local shard of the batch-LAST axis under `shard_map`.  The
+    solve is communication-free by construction (per-scenario independence:
+    the reference's analog is separate solver objects per thread); the only
+    collectives are the scalar statistics folds the reference performs in
+    shared memory (`al_solver.hpp:417-434`): one pmax (max violation) and
+    two psums (solved / stalled counts) per SOLVE — 12 bytes over ICI per
+    device, so data-parallel scaling is limited only by load balance
+    (lockstep-per-shard, not lockstep-global: each device iterates exactly
+    as long as ITS shard needs).
+    """
+
+    def __init__(
+        self,
+        prob: CompiledProblem,
+        mesh: Mesh,
+        opts: SolverOptions = None,
+        axis: str = "batch",
+    ):
+        from ..solver.batched import ALSolverBatched
+
+        self.prob = prob
+        self.mesh = mesh
+        self.axis = axis
+        self.solver = ALSolverBatched(prob, opts)
+        self._cache = {}
+
+    def _spec(self, ndim: int):
+        return P(*([None] * (ndim - 1) + [self.axis]))
+
+    def shard_batch(self, tree):
+        """Place a batch-LAST trajectory/AL pytree's trailing axis onto the
+        mesh (1-D leaves like the shared time grid stay replicated)."""
+        return jax.device_put(
+            tree,
+            jax.tree_util.tree_map(
+                lambda l: NamedSharding(
+                    self.mesh,
+                    self._spec(jnp.ndim(l)) if jnp.ndim(l) > 1 else P(),
+                ),
+                tree,
+            ),
+        )
+
+    def shard_params(self, params: ProblemParams):
+        """Shard per-instance (trailing-batch) param leaves; replicate
+        shared ones (the `batch_axes` convention)."""
+        canon = self.prob.params
+        return jax.device_put(
+            params,
+            jax.tree_util.tree_map(
+                lambda c, l: NamedSharding(
+                    self.mesh,
+                    self._spec(jnp.ndim(l))
+                    if jnp.ndim(l) == jnp.ndim(c) + 1
+                    else P(),
+                ),
+                canon,
+                params,
+            ),
+        )
+
+    def _build(self, params, Zb):
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.7
+            from jax.experimental.shard_map import shard_map
+
+        axis = self.axis
+        mesh = self.mesh
+        nd = int(np.prod(mesh.devices.shape))
+        canon = self.prob.params
+
+        def pspec(c, leaf):
+            if jnp.ndim(leaf) == jnp.ndim(c) + 1:
+                return self._spec(jnp.ndim(leaf))
+            return P()
+
+        params_specs = jax.tree_util.tree_map(pspec, canon, params)
+        Z_specs = type(Zb)(
+            X=self._spec(Zb.X.ndim), U=self._spec(Zb.U.ndim), t=P(), h=P()
+        )
+
+        def local_fn(params_l, Z_l):
+            res = self.solver.solve(params_l, Z_l)
+            viol = jax.lax.pmax(jnp.max(res["stats"].violations), axis)
+            solved = jax.lax.psum(
+                jnp.sum(
+                    (res["status"] == jnp.int32(SolverStatus.SOLVED)).astype(
+                        jnp.int32
+                    )
+                ),
+                axis,
+            )
+            stalled = jax.lax.psum(
+                jnp.sum(
+                    (
+                        res["status"]
+                        == jnp.int32(SolverStatus.SOLVED_STALLED)
+                    ).astype(jnp.int32)
+                ),
+                axis,
+            )
+            return res, viol, solved, stalled
+
+        # result specs from the local result structure (every leaf carries
+        # the batch in its trailing axis)
+        def localize(leaf):
+            shape = list(leaf.shape)
+            shape[-1] = shape[-1] // nd
+            return jax.ShapeDtypeStruct(tuple(shape), leaf.dtype)
+
+        res_struct = jax.eval_shape(
+            self.solver.solve,
+            jax.tree_util.tree_map(
+                lambda c, l: (
+                    localize(jax.ShapeDtypeStruct(jnp.shape(l), jnp.asarray(l).dtype))
+                    if jnp.ndim(l) == jnp.ndim(c) + 1
+                    else jax.ShapeDtypeStruct(jnp.shape(l), jnp.asarray(l).dtype)
+                ),
+                canon,
+                params,
+            ),
+            jax.tree_util.tree_map(
+                lambda l: (
+                    localize(jax.ShapeDtypeStruct(l.shape, l.dtype))
+                    if l.ndim > 1
+                    else jax.ShapeDtypeStruct(l.shape, l.dtype)
+                ),
+                Zb,
+            ),
+        )
+        res_specs = jax.tree_util.tree_map(
+            lambda l: self._spec(len(l.shape)), res_struct
+        )
+        fn = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(params_specs, Z_specs),
+            out_specs=(res_specs, P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def solve(self, params: ProblemParams, Zb):
+        """Solve the sharded batch-last fleet.
+
+        Returns ``(res dict, max_violation, n_solved, n_stalled)`` with the
+        same result contract as `ALSolverBatched.solve`.
+        """
+        key = (
+            jax.tree_util.tree_structure((params, Zb)),
+            tuple(jnp.shape(l) for l in jax.tree_util.tree_leaves((params, Zb))),
+        )
+        if key not in self._cache:
+            self._cache[key] = self._build(params, Zb)
+        return self._cache[key](params, Zb)

@@ -98,73 +98,79 @@ def main() -> None:
     dtype = jnp.float32
     defn = UnicycleProblem(scenario="three_obstacles", dtype=dtype)
     prob = defn.make_problem(add_constraints=True).compile()
-    # scenario config per the measured sweep (perf/obstacle_f32_floor.out):
-    # reference-default 20-try line search; f64 polish finishes the f32
-    # precision-floor residue
-    solver = bench.make_solver(
-        prob, batch, initial_penalty=1.0,
-        line_search_max_iterations=20, max_stall_iterations=10,
-    )
     params_b, Zb, (cx, cy, rr), xf = make_randomized_fleet(
         prob, defn, batch, dtype
     )
+    baseline = 1000.0 / 31.768  # reference wall on its (fixed) 3-obstacle run
 
-    # the whole point of r4: the randomized fleet runs ON the kernels
-    assert solver._p1._use_fwd(params_b, Zb), "forward kernel not engaged"
-    assert solver._p1._use_kernel(
-        solver._p1._bwd, params_b, Zb
-    ), "fused backward kernel not engaged"
-    sig = solver._p1._fwd.param_sig(params_b)
-    assert len(sig) >= 6, sig  # circle cx/cy/r + goal xf + cost q/c
+    # two modes: pure-f32 throughput, and f64-complete (polish finishes the
+    # f32 precision-floor residue; randomized layouts leave a bigger
+    # residue than the fixed scenario — ~27% vs ~8%)
+    for mode, polish in (("f32_throughput", False), ("f64_complete", True)):
+        # scenario config per the measured sweep
+        # (perf/obstacle_f32_floor.out): reference-default 20-try search
+        solver = bench.make_solver(
+            prob, batch, initial_penalty=1.0,
+            line_search_max_iterations=20, max_stall_iterations=10,
+        )
+        solver.f64_polish = polish
 
-    res = solver.solve(params_b, Zb)
-    jax.block_until_ready(res["Z"].U)
-    walls = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+        # the whole point of r4: the randomized fleet runs ON the kernels
+        assert solver._p1._use_fwd(params_b, Zb), "forward kernel not engaged"
+        assert solver._p1._use_kernel(
+            solver._p1._bwd, params_b, Zb
+        ), "fused backward kernel not engaged"
+        sig = solver._p1._fwd.param_sig(params_b)
+        assert len(sig) >= 6, sig  # circle cx/cy/r + goal xf + cost q/c
+
         res = solver.solve(params_b, Zb)
         jax.block_until_ready(res["Z"].U)
-        walls.append(time.perf_counter() - t0)
-    dt = float(np.median(walls))
+        walls = []
+        for _ in range(3 if polish else 5):
+            t0 = time.perf_counter()
+            res = solver.solve(params_b, Zb)
+            jax.block_until_ready(res["Z"].U)
+            walls.append(time.perf_counter() - t0)
+        dt = float(np.median(walls))
 
-    hist = bench.status_histogram(np.asarray(res["status"]))
-    iters = np.asarray(res["stats"].iterations_total)
-    # per-instance obstacle clearance at every knot (the reference's own
-    # quality check, `example_unicycle_test.cpp:76-83`: >= -1 mm), against
-    # each instance's OWN randomized layout
-    X = np.asarray(res["Z"].X, np.float64)  # [N+1, 3, B]
-    d = (
-        np.sqrt(
-            (X[:, 0, None, :] - cx[None]) ** 2
-            + (X[:, 1, None, :] - cy[None]) ** 2
-        )
-        - rr[None]
-    )  # [N+1, 3, B]
-    clearance_per_inst = d.min(axis=(0, 1))
-    # terminal goal error against each instance's OWN randomized goal
-    goal_err = np.abs(X[-1] - xf).max(axis=0)
-    baseline = 1000.0 / 31.768  # reference wall on its (fixed) 3-obstacle run
-    print(json.dumps({
-        "metric": "randomized_unicycle_obstacle_fleet_solves_per_s_per_chip",
-        "value": round(batch / dt, 2),
-        "unit": "solves/s",
-        "vs_baseline_fixed_scenario": round(batch / dt / baseline, 2),
-        "batch": batch,
-        "per_instance_param_leaves": sorted(sig),
-        "status_hist": hist,
-        "wall_s_per_batch": round(dt, 4),
-        "wall_s_reps": [round(t, 4) for t in walls],
-        "iters_p50": float(np.percentile(iters, 50)),
-        "iters_p99": float(np.percentile(iters, 99)),
-        "iters_max": int(iters.max()),
-        "min_clearance_m": round(float(clearance_per_inst.min()), 5),
-        "clearance_ok_pct": round(
-            float((clearance_per_inst >= -1e-3).mean() * 100), 2
-        ),
-        "goal_err_p99": round(float(np.percentile(goal_err, 99)), 6),
-        "f64_polish": solver.telemetry.get("polish"),
-        "device": str(jax.devices()[0]),
-    }))
+        hist = bench.status_histogram(np.asarray(res["status"]))
+        iters = np.asarray(res["stats"].iterations_total)
+        # per-instance obstacle clearance at every knot (the reference's
+        # own quality check, `example_unicycle_test.cpp:76-83`: >= -1 mm),
+        # against each instance's OWN randomized layout
+        X = np.asarray(res["Z"].X, np.float64)  # [N+1, 3, B]
+        d = (
+            np.sqrt(
+                (X[:, 0, None, :] - cx[None]) ** 2
+                + (X[:, 1, None, :] - cy[None]) ** 2
+            )
+            - rr[None]
+        )  # [N+1, 3, B]
+        clearance_per_inst = d.min(axis=(0, 1))
+        # terminal goal error against each instance's OWN randomized goal
+        goal_err = np.abs(X[-1] - xf).max(axis=0)
+        print(json.dumps({
+            "metric": "randomized_unicycle_obstacle_fleet_solves_per_s_per_chip",
+            "mode": mode,
+            "value": round(batch / dt, 2),
+            "unit": "solves/s",
+            "vs_baseline_fixed_scenario": round(batch / dt / baseline, 2),
+            "batch": batch,
+            "per_instance_param_leaves": sorted(sig),
+            "status_hist": hist,
+            "wall_s_per_batch": round(dt, 4),
+            "wall_s_reps": [round(t, 4) for t in walls],
+            "iters_p50": float(np.percentile(iters, 50)),
+            "iters_p99": float(np.percentile(iters, 99)),
+            "iters_max": int(iters.max()),
+            "min_clearance_m": round(float(clearance_per_inst.min()), 5),
+            "clearance_ok_pct": round(
+                float((clearance_per_inst >= -1e-3).mean() * 100), 2
+            ),
+            "goal_err_p99": round(float(np.percentile(goal_err, 99)), 6),
+            "f64_polish": solver.telemetry.get("polish"),
+            "device": str(jax.devices()[0]),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Lane-major sharded batched solver (`ShardedBatchedALSolver`, r4).
+
+The production multi-chip path: each device runs the full batch-native
+solver on its local shard of the batch-LAST axis under `shard_map`; the
+only collectives are the reference's scalar statistics folds
+(`al_solver.hpp:417-434`).  In f64 the sharded solve is BITWISE equal to
+the unsharded lane-major solve; in f32, compiling at a different local
+width moves borderline endpoints within the stopping ball (the PARITY.md
+phenomenon), so the f32 contract is statuses + tolerance-ball endpoints.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from altro_tpu import SolverOptions, SolverStatus
+from altro_tpu.models.problems import UnicycleProblem
+from altro_tpu.parallel.mesh import ShardedBatchedALSolver, make_mesh
+from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
+
+B = 64
+
+
+def _setup(dtype):
+    defn = UnicycleProblem(dtype=dtype)
+    defn.N = 20
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.1, 0.1, (3, B)), dtype)
+    params = prob.params.replace(x0=x0s)
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0
+        )
+    )
+    return prob, params, Zb
+
+
+def test_sharded_lane_major_bitwise_f64():
+    prob, params, Zb = _setup(jnp.float64)
+    mesh = make_mesh(jax.devices())
+    s = ShardedBatchedALSolver(prob, mesh, SolverOptions())
+    res, viol, nsolved, nstalled = s.solve(
+        s.shard_params(params), s.shard_batch(Zb)
+    )
+    ref = jax.jit(ALSolverBatched(prob, SolverOptions()).solve)(params, Zb)
+    np.testing.assert_array_equal(
+        np.asarray(res["status"]), np.asarray(ref["status"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["Z"].U), np.asarray(ref["Z"].U), rtol=0, atol=0
+    )
+    assert int(nsolved) == int(
+        np.sum(np.asarray(ref["status"]) == int(SolverStatus.SOLVED))
+    )
+    assert float(viol) == float(np.asarray(ref["stats"].violations).max())
+
+
+def test_sharded_lane_major_f32_statuses_and_ball():
+    prob, params, Zb = _setup(jnp.float32)
+    mesh = make_mesh(jax.devices())
+    s = ShardedBatchedALSolver(prob, mesh, SolverOptions())
+    res, viol, nsolved, nstalled = s.solve(
+        s.shard_params(params), s.shard_batch(Zb)
+    )
+    ref = jax.jit(ALSolverBatched(prob, SolverOptions()).solve)(params, Zb)
+    np.testing.assert_array_equal(
+        np.asarray(res["status"]), np.asarray(ref["status"])
+    )
+    # endpoints within the f32 stopping ball (PARITY.md)
+    np.testing.assert_allclose(
+        np.asarray(res["Z"].U), np.asarray(ref["Z"].U), atol=5e-3
+    )
+    assert int(nsolved) == B
+
+
+def test_sharded_per_instance_params():
+    """Per-instance obstacle layouts shard with the batch (each device gets
+    its shard's layouts; shared cost params replicate)."""
+    defn = UnicycleProblem(scenario="three_obstacles", dtype=jnp.float64)
+    defn.N = 12
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    rng = np.random.default_rng(1)
+    cx0, cy0, r0 = defn.obstacles
+    ci = next(
+        i for i, f in enumerate(prob.constraint_families)
+        if f.constraint.structure[0] == "circle"
+    )
+    cons = list(prob.params.constraints)
+    cons[ci] = dict(
+        cons[ci],
+        cx=jnp.asarray(cx0[:, None] + rng.uniform(-0.1, 0.1, (3, B))),
+        cy=jnp.asarray(cy0[:, None] + rng.uniform(-0.1, 0.1, (3, B))),
+    )
+    params = prob.params.replace(
+        x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, B))),
+        constraints=tuple(cons),
+    )
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0
+        )
+    )
+    opts = SolverOptions(initial_penalty=10.0)
+    mesh = make_mesh(jax.devices())
+    s = ShardedBatchedALSolver(prob, mesh, opts)
+    res, viol, nsolved, nstalled = s.solve(
+        s.shard_params(params), s.shard_batch(Zb)
+    )
+    ref = jax.jit(ALSolverBatched(prob, opts).solve)(params, Zb)
+    np.testing.assert_array_equal(
+        np.asarray(res["status"]), np.asarray(ref["status"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["Z"].U), np.asarray(ref["Z"].U), rtol=0, atol=0
+    )
