@@ -57,43 +57,66 @@ def batch_scaling():
 
 
 def mesh_scaling():
+    """Weak scaling of the LANE-MAJOR sharded solver (the production
+    multi-chip path, `ShardedBatchedALSolver`): fixed per-device batch,
+    growing mesh.  The solve is communication-free (collectives = 3 scalars
+    per solve), so on real ICI hardware the efficiency bound is load
+    balance; on the virtual CPU mesh the numbers below mostly measure HOST
+    CORE OVERSUBSCRIPTION (8 virtual devices share this machine's 2 cores
+    and XLA:CPU serializes partitions), so they are a floor, not an ICI
+    prediction — see perf/scaling.out for the analysis."""
+    from altro_tpu.parallel.mesh import ShardedBatchedALSolver
+    from altro_tpu.solver.batched import to_batch_last
+
     devices = jax.devices()
     if len(devices) < 2:
         print("== mesh scaling skipped (single device) ==")
         return
-    print(f"== mesh scaling over {len(devices)} devices (N=10) ==")
+    ncores = os.cpu_count()
+    print(
+        f"== lane-major mesh weak scaling over {len(devices)} devices "
+        f"(N=20; host cores: {ncores}) =="
+    )
     defn = UnicycleProblem(dtype=jnp.float32)
-    defn.N = 10
+    defn.N = 20
     defn.__post_init__()
     prob = defn.make_problem(add_constraints=True).compile()
-    per_dev = 16
+    per_dev = 32
     base = None
+    Z0 = defn.initial_trajectory()
     for nd in (1, 2, len(devices)):
         mesh = make_mesh(devices[:nd])
-        solver = ShardedALSolver(prob, mesh, SolverOptions(max_iterations_inner=20))
+        solver = ShardedBatchedALSolver(prob, mesh, SolverOptions())
         B = per_dev * nd
         rng = np.random.default_rng(0)
-        x0s = solver.shard_batch(
-            jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3)), jnp.float32)
+        params = solver.shard_params(
+            prob.params.replace(
+                x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, B)), jnp.float32)
+            )
         )
-        params = prob.params.replace(x0=x0s)
-        Z0 = defn.initial_trajectory()
         Zb = solver.shard_batch(
-            jax.tree_util.tree_map(lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0)
+            to_batch_last(
+                jax.tree_util.tree_map(
+                    lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0
+                )
+            )
         )
         res, viol, nsolved, nstalled = solver.solve(params, Zb)
-        jax.block_until_ready(res.Z.U)
-        t0 = time.perf_counter()
-        res, viol, nsolved, nstalled = solver.solve(params, Zb)
-        jax.block_until_ready(res.Z.U)
-        dt = time.perf_counter() - t0
+        jax.block_until_ready(res["Z"].U)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res, viol, nsolved, nstalled = solver.solve(params, Zb)
+            jax.block_until_ready(res["Z"].U)
+            walls.append(time.perf_counter() - t0)
+        dt = float(np.median(walls))
         rate = B / dt
         if base is None:
             base = rate
         eff = rate / (base * nd) * 100
         print(
             f"devices={nd}: B={B:4d} {dt * 1e3:8.1f} ms -> {rate:8.0f} solves/s "
-            f"({eff:5.1f}% scaling efficiency)"
+            f"({eff:5.1f}% of linear; solved {int(nsolved)}/{B})"
         )
 
 

@@ -44,16 +44,19 @@ VPU_TFLOPS = 7.7          # estimate, see module docstring
 B = 4096
 
 
-def measured(fn, *args, reps=7):
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+def measured_chained(mk_chain, reps=5, chain=32):
+    """Amortized device timing: `chain` kernel calls inside ONE jitted
+    fori_loop with a data dependency (single-dispatch walls measure the
+    ~25-40 ms axon tunnel RTT, not the kernel — observed flat ~25 ms for
+    kernels whose phase-profiled time is ~1.3 ms)."""
+    fn = jax.jit(mk_chain(chain))
+    jax.block_until_ready(fn())
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        jax.block_until_ready(fn())
         walls.append(time.perf_counter() - t0)
-    return float(np.median(walls))
+    return float(np.median(walls)) / chain
 
 
 def xla_flops(jitted, *args):
@@ -96,8 +99,18 @@ def main() -> None:
     rows = []
 
     # ---------------- backward fused kernel
-    bwd = jax.jit(lambda p, a, Z, r: solver._bwd(p, a, Z, r))
-    t_bwd = measured(bwd, params, al_pad, Zb, rho)
+    def mk_bwd(chain):
+        def run():
+            def body(i, r):
+                K, d, dV1, dV2, failed, J0 = solver._bwd(params, al_pad, Zb, r)
+                dep = d.reshape(-1)[0]
+                return r + jnp.where(jnp.isfinite(dep), dep * 0.0, 0.0)
+
+            return jax.lax.fori_loop(0, chain, body, rho)
+
+        return run
+
+    t_bwd = measured_chained(mk_bwd)
     bytes_bwd = 4 * B * N * (
         (n + m + sum_p)      # X, U, lam+rho streams in
         + (m * n + m)        # K, d out
@@ -109,12 +122,20 @@ def main() -> None:
     rows.append(("backward_fused", t_bwd, bytes_bwd, fl_bwd))
 
     # ---------------- forward fused kernel
-    fwd = jax.jit(
-        lambda p, a, Z, K, d, al_: solver._fwd(
-            p, a, Z, K, d, al_, check_bounds=True
-        )
-    )
-    t_fwd = measured(fwd, params, al_pad, Zb, K, d, alpha)
+    def mk_fwd(chain):
+        def run():
+            def body(i, a):
+                Xn, Ubar, J, valid, status = solver._fwd(
+                    params, al_pad, Zb, K, d, a, check_bounds=True
+                )
+                dep = J.reshape(-1)[0]
+                return a + jnp.where(jnp.isfinite(dep), dep * 0.0, 0.0)
+
+            return jax.lax.fori_loop(0, chain, body, alpha)
+
+        return run
+
+    t_fwd = measured_chained(mk_fwd)
     bytes_fwd = 4 * B * N * (
         (n + m + m * n + m + sum_p)  # X, U, K, d, lam+rho in
         + (n + m)                    # Xnext, Ubar out
