@@ -34,7 +34,6 @@ perf/verify_kernels.py / tests/test_tpu_compiled.py).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -47,7 +47,6 @@ batch % 1024 == 0.  Per-knot (stacked) cost params must be batch-shared
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax

@@ -162,7 +162,11 @@ class BatchedMPC:
     cap every tick and the whole fleet waits (measured: 5 unconverged of
     4096 made ticks 28x slower, perf/mpc_latency.out).  A capped instance
     reports MAX_ITERATIONS that tick and keeps improving across ticks via
-    the warm start — standard real-time iLQR practice.
+    the warm start — standard real-time iLQR practice.  The warm-started
+    fleet's p50 is 2 iterations; with K=3 and `rollout_ticks` (ticks
+    chained on-device, no per-tick host dispatch) 4,096 controllers meet a
+    100 Hz deadline simultaneously on one v5e chip at 7.0 ms/tick with
+    p99 goal miss 10 cm (measured: perf/mpc_device_latency.out).
     """
 
     def __init__(
