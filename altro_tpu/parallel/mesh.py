@@ -270,8 +270,31 @@ class ShardedBatchedALSolver:
                 Zb,
             ),
         )
+        # replicated result leaves (e.g. the shared time grid Z.t / Z.h)
+        # must come back with spec P(), not a sharded trailing axis —
+        # otherwise shard_map concatenates the per-device copies and e.g.
+        # res['Z'].t returns (N+1)*n_devices entries, breaking the
+        # `ALSolverBatched.solve` result contract and warm-start reuse.
+        # A leaf carries the batch iff its shape changes when the local
+        # batch width does, so compare against the full-width structure.
+        res_struct_full = jax.eval_shape(
+            self.solver.solve,
+            jax.tree_util.tree_map(
+                lambda l: jax.ShapeDtypeStruct(
+                    jnp.shape(l), jnp.asarray(l).dtype
+                ),
+                params,
+            ),
+            jax.tree_util.tree_map(
+                lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), Zb
+            ),
+        )
         res_specs = jax.tree_util.tree_map(
-            lambda l: self._spec(len(l.shape)), res_struct
+            lambda loc, full: (
+                self._spec(len(loc.shape)) if loc.shape != full.shape else P()
+            ),
+            res_struct,
+            res_struct_full,
         )
         fn = shard_map(
             local_fn,

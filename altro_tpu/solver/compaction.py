@@ -406,6 +406,22 @@ class CompactedALSolver:
                 res["d"] = res["d"].at[..., idx_j].set(sub["d"].astype(f32))
                 res["status"] = res["status"].at[idx_j].set(sub["status"])
                 st, su = res["stats"], sub["stats"]
+                # full stats merge, mirroring the tail-round splice above
+                # (incl. rows history): polished instances must not keep
+                # stale f32-phase cost_decrease/alpha/z/regularization
+                rows = st.rows
+                cap = rows.shape[0]
+                if cap > 0:
+                    T0 = st.iterations_total[idx_j]
+                    r = jnp.arange(cap)
+                    valid = (r[:, None] < su.iterations_total[None, :]) & (
+                        real[None, :] > 0
+                    )
+                    dst = jnp.where(valid, T0[None, :] + r[:, None], cap)
+                    lanes = jnp.broadcast_to(idx_j[None, :], dst.shape)
+                    rows = rows.at[dst, :, lanes].set(
+                        jnp.moveaxis(su.rows, 1, 2).astype(f32), mode="drop"
+                    )
                 res["stats"] = st.replace(
                     iterations_inner=st.iterations_inner.at[idx_j].set(
                         su.iterations_inner
@@ -417,8 +433,18 @@ class CompactedALSolver:
                         su.iterations_total * real
                     ),
                     cost=st.cost.at[idx_j].set(su.cost.astype(f32)),
+                    cost_decrease=st.cost_decrease.at[idx_j].set(
+                        su.cost_decrease.astype(f32)
+                    ),
                     gradient=st.gradient.at[idx_j].set(
                         su.gradient.astype(f32)
+                    ),
+                    alpha=st.alpha.at[idx_j].set(su.alpha.astype(f32)),
+                    improvement_ratio=st.improvement_ratio.at[idx_j].set(
+                        su.improvement_ratio.astype(f32)
+                    ),
+                    regularization=st.regularization.at[idx_j].set(
+                        su.regularization.astype(f32)
                     ),
                     violations=st.violations.at[idx_j].set(
                         su.violations.astype(f32)
@@ -426,4 +452,5 @@ class CompactedALSolver:
                     max_penalty=st.max_penalty.at[idx_j].set(
                         su.max_penalty.astype(f32)
                     ),
+                    rows=rows,
                 )

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Optional
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 
@@ -108,10 +110,18 @@ class MPC:
         return st, x, X, U
 
     def _tick_chain(self, plant_fn, n_ticks: int):
-        key = (id(plant_fn), n_ticks)
+        # keyed on the function OBJECT (WeakKeyDictionary), not id():
+        # after the original function is garbage-collected a new callable
+        # can reuse the same id and would silently get the stale compiled
+        # chain with the wrong plant dynamics
         cache = getattr(self, "_chains", None)
         if cache is None:
-            cache = self._chains = {}
+            cache = self._chains = weakref.WeakKeyDictionary()
+        per_fn = cache.get(plant_fn)
+        if per_fn is None:
+            per_fn = cache[plant_fn] = {}
+        cache = per_fn
+        key = n_ticks
         if key not in cache:
 
             def tick(carry, _):
@@ -223,10 +233,18 @@ class BatchedMPC:
         return st, x, X, U
 
     def _tick_chain(self, plant_fn, n_ticks: int):
-        key = (id(plant_fn), n_ticks)
+        # keyed on the function OBJECT (WeakKeyDictionary), not id():
+        # after the original function is garbage-collected a new callable
+        # can reuse the same id and would silently get the stale compiled
+        # chain with the wrong plant dynamics
         cache = getattr(self, "_chains", None)
         if cache is None:
-            cache = self._chains = {}
+            cache = self._chains = weakref.WeakKeyDictionary()
+        per_fn = cache.get(plant_fn)
+        if per_fn is None:
+            per_fn = cache[plant_fn] = {}
+        cache = per_fn
+        key = n_ticks
         if key not in cache:
 
             def tick(carry, _):

@@ -74,6 +74,13 @@ def test_sharded_lane_major_f32_statuses_and_ball():
         np.asarray(res["Z"].U), np.asarray(ref["Z"].U), atol=5e-3
     )
     assert int(nsolved) == B
+    # replicated leaves come back UNconcatenated (r5 fix: out_specs P()
+    # for leaves without a trailing batch axis) — the result honours the
+    # `ALSolverBatched.solve` contract so res['Z'] is warm-start reusable
+    N = prob.N
+    assert res["Z"].t.shape == (N + 1,)
+    assert res["Z"].h.shape == (N,)
+    np.testing.assert_allclose(np.asarray(res["Z"].t), np.asarray(Zb.t))
 
 
 def test_sharded_per_instance_params():
