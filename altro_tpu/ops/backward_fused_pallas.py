@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..problem.constraints import Cone
-from .forward_pallas import ForwardKernel, Ineligible
+from .forward_pallas import ForwardKernel, Ineligible, _pick_T
 from .riccati_pallas import LANE, SUB, TILE, _chol, _chol_solve_mat, _mT, _mm, _mv
 
 
@@ -54,19 +54,36 @@ class BackwardFusedKernel(ForwardKernel):
     `expand` + `riccati_scan` (+ per-knot cost sum) to f32 rounding.
     """
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # Multi-knot time blocks (r5): the sweep is grid-step latency-bound
+        # (perf/roofline.out: 1.15 ms vs 0.065 ms SOL at one knot/step), so
+        # stream Tb knots per grid step and unroll the recursion over them
+        # with the cost-to-go carry in registers — N/Tb sequential grid
+        # steps instead of N, same streamed bytes.
+        n, m = self.n, self.m
+        sum_p = sum(f["p"] + 1 for f in self._con_fams if f["stage"])
+        per_step = (n + m + sum_p + m * n + m) * self.tile * 4
+        # cap 10: the backward body (RK4 Jacobian + Cholesky + Riccati) is
+        # ~5x the forward body, so deeper unrolls cost compile time and
+        # register pressure for no further latency win
+        self.Tb = _pick_T(self.N, per_step, cap=10)
+        self.NTB = self.N // self.Tb
+
     def _build_specs(self, sig: frozenset):
         n, m = self.n, self.m
         N = self.N
+        Tb, NTB = self.Tb, self.NTB
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
-        # time iterates REVERSED and one step per grid call (the Riccati
-        # carry is sequential; Pallas still double-buffers step k-1's
-        # streams while step k computes)
+        # time iterates REVERSED in blocks of Tb knots per grid call (the
+        # Riccati carry is sequential; Pallas still double-buffers block
+        # kb+1's streams while block kb computes)
         def rstream(*dims):
             nd = len(dims)
             return pl.BlockSpec(
-                (1, *dims, 1, self.sub, self.lane),
-                lambda b, k, nd=nd: (N - 1 - k, *([0] * nd), b, 0, 0),
+                (Tb, *dims, 1, self.sub, self.lane),
+                lambda b, kb, nd=nd: (NTB - 1 - kb, *([0] * nd), b, 0, 0),
             )
 
         def tile(*dims):
@@ -286,6 +303,8 @@ class BackwardFusedKernel(ForwardKernel):
         cost_fams = self._cost_fams
         con_fams = self._con_fams
 
+        Tb, NTB = self.Tb, self.NTB
+
         def kernel(*refs):
             in_refs = refs[:n_in]
             K_ref, d_ref, dV1_ref, dV2_ref, failed_ref, J0_ref = refs[
@@ -296,7 +315,7 @@ class BackwardFusedKernel(ForwardKernel):
             def get(name):
                 return in_refs[names[name]]
 
-            k_rev = pl.program_id(1)
+            kb = pl.program_id(1)
             th = get("th")
             dyn_params = self._dyn_params_in_kernel(get, sig)
 
@@ -306,7 +325,7 @@ class BackwardFusedKernel(ForwardKernel):
                 comp = (t - J) - y
                 return t, comp
 
-            @pl.when(k_rev == 0)
+            @pl.when(kb == 0)
             def _init():
                 # terminal expansion -> P_N, p_N (+ terminal cost into J)
                 xN = get("xN")[:, 0]
@@ -354,132 +373,152 @@ class BackwardFusedKernel(ForwardKernel):
                 J_scr[0] = J
                 J_scr[1] = comp
 
-            # ---------------- expansion at knot k (streamed reversed)
-            x = get("X")[0, :, 0]
-            u = get("U")[0, :, 0]
-            xs = [x[i] for i in range(n)]
-            us = [u[i] for i in range(m)]
-            k = N - 1 - k_rev
-            t_k = th[k, 0]
-            h_k = th[k, 1]
-            zero = jnp.zeros_like(x[0])
-            J = J_scr[0]
-            comp = J_scr[1]
-            lx = [zero] * n
-            lu = [zero] * m
-            lxx = [[zero] * n for _ in range(n)]
-            lxu = [[zero] * m for _ in range(n)]
-            luu = [[zero] * m for _ in range(m)]
-            for f in cost_fams:
-                if f["k0"] > N - 1:
-                    continue
-                nk = f["k1"] - f["k0"] + 1
-                row = jnp.clip(k - f["k0"], 0, nk - 1)
-                Jq, glx, glu, Qv, Hv, Rv = self._tile_quad_expansion(
-                    get, sig, f, xs, us, row, 0
-                )
-                lo, hi = f["k0"], min(f["k1"], N - 1)
-                inr = None
-                if not (lo == 0 and hi == N - 1):
-                    inr = (k >= lo) & (k <= hi)
-                    Jq = jnp.where(inr, Jq, 0.0)
-                J, comp = kadd(J, comp, Jq)
-                gate = (lambda v: jnp.where(inr, v, 0.0)) if inr is not None else (
-                    lambda v: v
-                )
-                for i in range(n):
-                    lx[i] = lx[i] + gate(glx[i])
-                    for j in range(n):
-                        lxx[i][j] = lxx[i][j] + gate(
-                            Qv(min(i, j), max(i, j)) + zero
-                        )
-                    for j in range(m):
-                        lxu[i][j] = lxu[i][j] + gate(Hv(i, j) + zero)
-                for i in range(m):
-                    lu[i] = lu[i] + gate(glu[i])
-                    for j in range(m):
-                        luu[i][j] = luu[i][j] + gate(
-                            Rv(min(i, j), max(i, j)) + zero
-                        )
-            for f in con_fams:
-                if not f["stage"]:
-                    continue
-                fi = f["fi"]
-                lam_rows = [get(f"lam{fi}")[0, r, 0] for r in range(f["p"])]
-                rho_c = get(f"rho{fi}")[0, 0]
-                Jc, gx, gu, Hxx, Hxu, Huu = self._tile_al_expansion(
-                    get, sig, f, xs, us, lam_rows, rho_c
-                )
-                lo, hi = f["k0"], min(f["k1"], N - 1)
-                inr = None
-                if not (lo == 0 and hi == N - 1):
-                    inr = (k >= lo) & (k <= hi)
-                    Jc = jnp.where(inr, Jc, 0.0)
-                J, comp = kadd(J, comp, Jc)
-                gate = (lambda v: jnp.where(inr, v, 0.0)) if inr is not None else (
-                    lambda v: v
-                )
-                for i in range(n):
-                    lx[i] = lx[i] + gate(gx[i])
-                    for j in range(n):
-                        lxx[i][j] = lxx[i][j] + gate(Hxx[i][j])
-                    for j in range(m):
-                        lxu[i][j] = lxu[i][j] + gate(Hxu[i][j])
-                for i in range(m):
-                    lu[i] = lu[i] + gate(gu[i])
-                    for j in range(m):
-                        luu[i][j] = luu[i][j] + gate(Huu[i][j])
-
-            A, Bd = self._tile_dyn_jacobian(dyn_params, x, u, t_k, h_k)
-            lx_s = jnp.stack(lx)
-            lu_s = jnp.stack(lu)
-            lxx_s = jnp.stack([jnp.stack(r) for r in lxx])
-            lxu_s = jnp.stack([jnp.stack(r) for r in lxu])
-            luu_s = jnp.stack([jnp.stack(r) for r in luu])
-
-            # ---------------- Riccati step (`riccati_pallas._kernel`)
+            # ---------------- carries in registers across the Tb knots
             rho = get("rho_reg")[0]
+            glim = float(self.opts.bp_gain_limit)
             P = P_scr[...]
             p = p_scr[...]
-            At = _mT(A)
-            AtP = _mm(At, P)
-            Qxx = lxx_s + _mm(AtP, A)
-            Qxu = lxu_s + _mm(AtP, Bd)
-            Quu = luu_s + _mm(_mT(Bd), _mm(P, Bd))
-            Qx = lx_s + _mv(At, p)
-            Qu = lu_s + _mv(_mT(Bd), p)
+            dv1 = dv_scr[0]
+            dv2 = dv_scr[1]
+            failed = fail_scr[...] > 0
+            J = J_scr[0]
+            comp = J_scr[1]
+            base = (NTB - 1 - kb) * Tb  # first knot of this time block
 
-            L, fail_k = _chol(Quu, diag_add=rho)
-            K = -_chol_solve_mat(L, _mT(Qxu))
-            d = -_chol_solve_mat(L, Qu[:, None])[:, 0]
-            # gain-magnitude guard (SolverOptions.bp_gain_limit)
-            glim = float(self.opts.bp_gain_limit)
-            fail_k = fail_k | jnp.logical_not(
-                (jnp.max(jnp.abs(K), axis=(0, 1)) <= glim)
-                & (jnp.max(jnp.abs(d), axis=0) <= glim)
-            )
+            for blk in reversed(range(Tb)):
+                # ------------ expansion at knot k (streamed reversed)
+                x = get("X")[blk, :, 0]
+                u = get("U")[blk, :, 0]
+                xs = [x[i] for i in range(n)]
+                us = [u[i] for i in range(m)]
+                k = base + blk
+                t_k = th[k, 0]
+                h_k = th[k, 1]
+                zero = jnp.zeros_like(x[0])
+                lx = [zero] * n
+                lu = [zero] * m
+                lxx = [[zero] * n for _ in range(n)]
+                lxu = [[zero] * m for _ in range(n)]
+                luu = [[zero] * m for _ in range(m)]
+                for f in cost_fams:
+                    if f["k0"] > N - 1:
+                        continue
+                    nk = f["k1"] - f["k0"] + 1
+                    row = jnp.clip(k - f["k0"], 0, nk - 1)
+                    Jq, glx, glu, Qv, Hv, Rv = self._tile_quad_expansion(
+                        get, sig, f, xs, us, row, blk
+                    )
+                    lo, hi = f["k0"], min(f["k1"], N - 1)
+                    inr = None
+                    if not (lo == 0 and hi == N - 1):
+                        inr = (k >= lo) & (k <= hi)
+                        Jq = jnp.where(inr, Jq, 0.0)
+                    J, comp = kadd(J, comp, Jq)
+                    gate = (
+                        (lambda v: jnp.where(inr, v, 0.0))
+                        if inr is not None
+                        else (lambda v: v)
+                    )
+                    for i in range(n):
+                        lx[i] = lx[i] + gate(glx[i])
+                        for j in range(n):
+                            lxx[i][j] = lxx[i][j] + gate(
+                                Qv(min(i, j), max(i, j)) + zero
+                            )
+                        for j in range(m):
+                            lxu[i][j] = lxu[i][j] + gate(Hv(i, j) + zero)
+                    for i in range(m):
+                        lu[i] = lu[i] + gate(glu[i])
+                        for j in range(m):
+                            luu[i][j] = luu[i][j] + gate(
+                                Rv(min(i, j), max(i, j)) + zero
+                            )
+                for f in con_fams:
+                    if not f["stage"]:
+                        continue
+                    fi = f["fi"]
+                    lam_rows = [
+                        get(f"lam{fi}")[blk, r, 0] for r in range(f["p"])
+                    ]
+                    rho_c = get(f"rho{fi}")[blk, 0]
+                    Jc, gx, gu, Hxx, Hxu, Huu = self._tile_al_expansion(
+                        get, sig, f, xs, us, lam_rows, rho_c
+                    )
+                    lo, hi = f["k0"], min(f["k1"], N - 1)
+                    inr = None
+                    if not (lo == 0 and hi == N - 1):
+                        inr = (k >= lo) & (k <= hi)
+                        Jc = jnp.where(inr, Jc, 0.0)
+                    J, comp = kadd(J, comp, Jc)
+                    gate = (
+                        (lambda v: jnp.where(inr, v, 0.0))
+                        if inr is not None
+                        else (lambda v: v)
+                    )
+                    for i in range(n):
+                        lx[i] = lx[i] + gate(gx[i])
+                        for j in range(n):
+                            lxx[i][j] = lxx[i][j] + gate(Hxx[i][j])
+                        for j in range(m):
+                            lxu[i][j] = lxu[i][j] + gate(Hxu[i][j])
+                    for i in range(m):
+                        lu[i] = lu[i] + gate(gu[i])
+                        for j in range(m):
+                            luu[i][j] = luu[i][j] + gate(Huu[i][j])
 
-            KtQuu = _mm(_mT(K), Quu)
-            p_new = Qx + _mv(KtQuu, d) + _mv(_mT(K), Qu) + _mv(Qxu, d)
-            P_new = Qxx + _mm(KtQuu, K) + _mm(_mT(K), _mT(Qxu)) + _mm(Qxu, K)
-            dV1_new = (d * Qu).sum(axis=0)
-            dV2_new = 0.5 * (d * _mv(Quu, d)).sum(axis=0)
+                A, Bd = self._tile_dyn_jacobian(dyn_params, x, u, t_k, h_k)
+                lx_s = jnp.stack(lx)
+                lu_s = jnp.stack(lu)
+                lxx_s = jnp.stack([jnp.stack(r) for r in lxx])
+                lxu_s = jnp.stack([jnp.stack(r) for r in lxu])
+                luu_s = jnp.stack([jnp.stack(r) for r in luu])
 
-            was_failed = fail_scr[...] > 0
-            now_failed = was_failed | fail_k
-            keep = ~now_failed
-            P_scr[...] = jnp.where(keep[None, None], P_new, P)
-            p_scr[...] = jnp.where(keep[None], p_new, p)
-            dv_scr[0] = jnp.where(keep, dv_scr[0] + dV1_new, dv_scr[0])
-            dv_scr[1] = jnp.where(keep, dv_scr[1] + dV2_new, dv_scr[1])
-            fail_scr[...] = now_failed.astype(fail_scr.dtype)
+                # ------------ Riccati step (`riccati_pallas._kernel`)
+                At = _mT(A)
+                AtP = _mm(At, P)
+                Qxx = lxx_s + _mm(AtP, A)
+                Qxu = lxu_s + _mm(AtP, Bd)
+                Quu = luu_s + _mm(_mT(Bd), _mm(P, Bd))
+                Qx = lx_s + _mv(At, p)
+                Qu = lu_s + _mv(_mT(Bd), p)
+
+                L, fail_k = _chol(Quu, diag_add=rho)
+                K = -_chol_solve_mat(L, _mT(Qxu))
+                d = -_chol_solve_mat(L, Qu[:, None])[:, 0]
+                # gain-magnitude guard (SolverOptions.bp_gain_limit)
+                fail_k = fail_k | jnp.logical_not(
+                    (jnp.max(jnp.abs(K), axis=(0, 1)) <= glim)
+                    & (jnp.max(jnp.abs(d), axis=0) <= glim)
+                )
+
+                KtQuu = _mm(_mT(K), Quu)
+                p_new = Qx + _mv(KtQuu, d) + _mv(_mT(K), Qu) + _mv(Qxu, d)
+                P_new = (
+                    Qxx + _mm(KtQuu, K) + _mm(_mT(K), _mT(Qxu)) + _mm(Qxu, K)
+                )
+                dV1_new = (d * Qu).sum(axis=0)
+                dV2_new = 0.5 * (d * _mv(Quu, d)).sum(axis=0)
+
+                now_failed = failed | fail_k
+                keep = ~now_failed
+                P = jnp.where(keep[None, None], P_new, P)
+                p = jnp.where(keep[None], p_new, p)
+                dv1 = jnp.where(keep, dv1 + dV1_new, dv1)
+                dv2 = jnp.where(keep, dv2 + dV2_new, dv2)
+                failed = now_failed
+
+                K_ref[blk, :, :, 0] = K
+                d_ref[blk, :, 0] = d
+
+            P_scr[...] = P
+            p_scr[...] = p
+            dv_scr[0] = dv1
+            dv_scr[1] = dv2
+            fail_scr[...] = failed.astype(fail_scr.dtype)
             J_scr[0] = J
             J_scr[1] = comp
 
-            K_ref[0, :, :, 0] = K
-            d_ref[0, :, 0] = d
-
-            @pl.when(k_rev == N - 1)
+            @pl.when(kb == NTB - 1)
             def _finalize():
                 dV1_ref[0] = dv_scr[0]
                 dV2_ref[0] = dv_scr[1]
@@ -503,7 +542,7 @@ class BackwardFusedKernel(ForwardKernel):
             ]
             self._kernels[key] = pl.pallas_call(
                 self._make_kernel(sig, sp["names"], len(sp["in_specs"])),
-                grid=(nt, N),
+                grid=(nt, self.NTB),
                 in_specs=sp["in_specs"],
                 out_specs=sp["out_specs"],
                 out_shape=out_shape,
@@ -570,10 +609,12 @@ class BackwardFusedKernel(ForwardKernel):
 
 
 def build_backward_fused_kernel(
-    prob, opts, *, interpret: bool = False, dtype=jnp.float32
+    prob, opts, *, interpret: bool = False, dtype=jnp.float32, sub: int = SUB
 ):
     """Build the fused kernel, or return None if the problem is ineligible."""
     try:
-        return BackwardFusedKernel(prob, opts, interpret=interpret, dtype=dtype)
+        return BackwardFusedKernel(
+            prob, opts, interpret=interpret, dtype=dtype, sub=sub
+        )
     except Ineligible:
         return None

@@ -97,10 +97,10 @@ def _scalar_leaves(params) -> list:
     return leaves
 
 
-def _pick_T(N: int, bytes_per_step: int, budget: int = 6 * 2**20) -> int:
+def _pick_T(N: int, bytes_per_step: int, budget: int = 6 * 2**20, cap: int = 32) -> int:
     """Largest divisor of N with double-buffered stream bytes under budget."""
     best = 1
-    for T in range(1, min(N, 32) + 1):
+    for T in range(1, min(N, cap) + 1):
         if N % T == 0 and 2 * T * bytes_per_step <= budget:
             best = T
     return best
@@ -769,9 +769,11 @@ class ForwardKernel:
         )
 
 
-def build_forward_kernel(prob, opts, *, interpret: bool = False, dtype=jnp.float32):
+def build_forward_kernel(
+    prob, opts, *, interpret: bool = False, dtype=jnp.float32, sub: int = SUB
+):
     """Build the fused kernel, or return None if the problem is ineligible."""
     try:
-        return ForwardKernel(prob, opts, interpret=interpret, dtype=dtype)
+        return ForwardKernel(prob, opts, interpret=interpret, dtype=dtype, sub=sub)
     except Ineligible:
         return None

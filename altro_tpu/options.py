@@ -142,6 +142,16 @@ class SolverOptions:
     # to the scans otherwise).
     forward_pass: str = "scan"
 
+    # Sublane rows per Pallas batch tile (tile = sublanes × 128 lanes).
+    # 0 (default) = auto: the largest of (32, 16, 8) dividing the batch,
+    # so a B=4096 fleet runs ONE batch tile of (32, 128) per grid step
+    # instead of four (8, 128) tiles.  The fused kernels are grid-step
+    # latency-bound (perf/roofline.out: ~5% of speed-of-light at sub=8),
+    # so fewer, fatter sequential steps amortize the per-step overhead.
+    # Set 8/16/32 to pin a width (e.g. to match a sharded per-device
+    # batch); widths that don't divide the batch fall back to 8.
+    kernel_sublanes: int = 0
+
     # Speculative (parallel) line search width for the batch-native solver's
     # fused Pallas forward pass.  The backtracking search is lockstep across
     # the batch: one instance needing k halvings makes ALL instances pay k

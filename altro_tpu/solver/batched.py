@@ -393,6 +393,11 @@ class ALSolverBatched:
             self._bwd = build_backward_fused_kernel(
                 prob, self.opts, interpret=self._interpret
             )
+        # wider-tile kernel variants, built lazily per batch width (r5):
+        # the fused kernels are grid-step latency-bound, so a B=4096 fleet
+        # runs one (32, 128) tile per step instead of four (8, 128) ones —
+        # see SolverOptions.kernel_sublanes
+        self._kern_variants = {}
         # Live fleet observability (`solver_logger.cpp:47-54` analog): at
         # verbose >= OUTER the outer loop emits one summary row per lockstep
         # outer iteration via jax.debug.callback (works under jit); at
@@ -486,14 +491,51 @@ class ALSolverBatched:
     def _use_fwd(self, params: ProblemParams, Z: BatchedTrajectory) -> bool:
         return self._use_kernel(self._fwd, params, Z)
 
-    def _fwd_rollout_cost(self, params, al_pad, Z, K, d, alpha, check_bounds):
+    def _pick_sub(self, B: int) -> int:
+        """Sublane rows per batch tile for batch width B (see
+        SolverOptions.kernel_sublanes)."""
+        from ..ops.forward_pallas import LANE, SUB
+
+        pin = int(getattr(self.opts, "kernel_sublanes", 0) or 0)
+        cands = (pin,) if pin > 0 else (32, 16, 8)
+        for s in cands:
+            if s >= SUB and B % (s * LANE) == 0:
+                return s
+        return SUB
+
+    def _kern_for(self, kind: str, base, B: int):
+        """The widest eligible kernel variant for batch width B (`base` =
+        the default-sub instance; returns it unchanged when it already has
+        the picked width, or for kinds the variant build can't improve)."""
+        if base is None:
+            return None
+        sub = self._pick_sub(B)
+        if sub == base.sub:
+            return base
+        key = (kind, sub)
+        if key not in self._kern_variants:
+            if kind == "fwd":
+                from ..ops.forward_pallas import build_forward_kernel as bk
+            else:
+                from ..ops.backward_fused_pallas import (
+                    build_backward_fused_kernel as bk,
+                )
+            self._kern_variants[key] = bk(
+                self.prob, self.opts, interpret=self._interpret, sub=sub
+            )
+        return self._kern_variants[key] or base
+
+    def _fwd_rollout_cost(
+        self, params, al_pad, Z, K, d, alpha, check_bounds, kern=None
+    ):
         """Fused rollout + cost; returns (Zbar, valid, status, J)."""
+        kern = self._fwd if kern is None else kern
         Bsz = Z.X.shape[-1]
         x0 = params.x0
         if x0.ndim == 1:
             x0 = jnp.broadcast_to(x0[:, None], (self.prob.n, Bsz))
         x0 = x0.astype(Z.X.dtype)
-        Xn, Ubar, J, valid, status = self._fwd(
+        Xn, Ubar, J, valid, status = kern(
             params, al_pad, Z, K, d, alpha, check_bounds=check_bounds
         )
         Zbar = dataclasses.replace(
@@ -986,11 +1028,12 @@ class ALSolverBatched:
         )
         return K, d, dV1, dV2, failed
 
-    def backward_pass_fused(self, params, al_pad, Z, rho, drho):
+    def backward_pass_fused(self, params, al_pad, Z, rho, drho, kern=None):
         """Backward pass via the fused expansion+Riccati kernel
         (`ops/backward_fused_pallas.py`): no materialized expansions, and
         the trajectory's AL cost J0 comes out of the same pass.  Same
         retry-with-regularization semantics as :meth:`backward_pass`."""
+        kern = self._bwd if kern is None else kern
         opts = self.opts
         N, n, m = self.prob.N, self.prob.n, self.prob.m
         Bsz = Z.X.shape[-1]
@@ -1000,7 +1043,7 @@ class ALSolverBatched:
             return ~jnp.all(c["done"])
 
         def body(c):
-            K, d, dV1, dV2, failed, J0 = self._bwd(params, al_pad, Z, c["rho"])
+            K, d, dV1, dV2, failed, J0 = kern(params, al_pad, Z, c["rho"])
             rho2, drho2 = _increase_reg(c["rho"], c["drho"], opts)
             rho_n = bwhere(failed, rho2, c["rho"])
             drho_n = bwhere(failed, drho2, c["drho"])
@@ -1161,7 +1204,7 @@ class ALSolverBatched:
         )
         return Zb, valid, status
 
-    def _line_search_speculative(self, params, al_pad, Z, bp, J0, S):
+    def _line_search_speculative(self, params, al_pad, Z, bp, J0, S, kern=None):
         """Speculative (parallel) backtracking line search.
 
         The sequential search is lockstep across the batch: the while_loop
@@ -1210,6 +1253,7 @@ class ALSolverBatched:
             Zbar_s, valid_s, status_s, J_s = self._fwd_rollout_cost(
                 params_s, al_pad_s, Z_s, K_s, d_s,
                 alphas.reshape(S * Bsz), opts.check_forwardpass_bounds,
+                kern=kern,
             )
             J_c = J_s.reshape(S, Bsz)
             valid = valid_s.reshape(S, Bsz)
@@ -1285,7 +1329,10 @@ class ALSolverBatched:
         )
         return jax.lax.while_loop(cond, body, init)
 
-    def forward_pass(self, params, al, Z, bp, J0, rho=None, drho=None, al_pad=None):
+    def forward_pass(
+        self, params, al, Z, bp, J0, rho=None, drho=None, al_pad=None,
+        fwd_kern=None,
+    ):
         """Per-instance backtracking line search (`ilqr.hpp:512-558`).
 
         `rho`/`drho` are the post-decrease regularization (see the
@@ -1303,7 +1350,9 @@ class ALSolverBatched:
         drho = bp["drho"] if drho is None else drho
         S = int(opts.line_search_parallel)
         if al_pad is not None and S > 1:
-            c = self._line_search_speculative(params, al_pad, Z, bp, J0, S)
+            c = self._line_search_speculative(
+                params, al_pad, Z, bp, J0, S, kern=fwd_kern
+            )
             return self._forward_finish(c, Z, J0, rho, drho, opts)
 
         def cond(c):
@@ -1314,7 +1363,7 @@ class ALSolverBatched:
             if al_pad is not None:
                 Zbar, valid, status, J_try = self._fwd_rollout_cost(
                     params, al_pad, Z, bp["K"], bp["d"], c["alpha"],
-                    opts.check_forwardpass_bounds,
+                    opts.check_forwardpass_bounds, kern=fwd_kern,
                 )
             else:
                 Zbar, valid, status = self.closed_loop_rollout(
@@ -1379,19 +1428,23 @@ class ALSolverBatched:
         Bsz = Z.X.shape[-1]
         N, n, m = self.prob.N, self.prob.n, self.prob.m
 
-        use_bwd_fused = self._use_kernel(self._bwd, params, Z)
+        fwd = self._kern_for("fwd", self._fwd, Bsz)
+        bwd = self._kern_for("bwd", self._bwd, Bsz)
+        use_bwd_fused = self._use_kernel(bwd, params, Z)
         al_pad = None
         al_pad_bwd = None
         if use_bwd_fused:
-            al_pad_bwd = self._bwd.pad_al(al)
-        if self._use_fwd(params, Z):
-            al_pad = self._fwd.pad_al(al) if al_pad_bwd is None else al_pad_bwd
+            al_pad_bwd = bwd.pad_al(al)
+        use_fwd = self._use_kernel(fwd, params, Z)
+        if use_fwd:
+            al_pad = fwd.pad_al(al) if al_pad_bwd is None else al_pad_bwd
             zK = jnp.zeros((N, m, n, Bsz), dt)
             zd = jnp.zeros((N, m, Bsz), dt)
             # K=d=α=0 makes the fused kernel the open-loop rollout + cost
             # (unguarded, like the reference's Rollout, `ilqr.hpp:453-459`)
             Zro, _, _, J_ro = self._fwd_rollout_cost(
-                params, al_pad, Z, zK, zd, jnp.zeros((Bsz,), dt), False
+                params, al_pad, Z, zK, zd, jnp.zeros((Bsz,), dt), False,
+                kern=fwd,
             )
             Z = zselect(outer_active, Zro, Z)
             J_init = J_ro
@@ -1413,7 +1466,7 @@ class ALSolverBatched:
                 # expansions computed inside the sweep; J0 falls out of the
                 # same kernel's Kahan cost accumulation
                 bp = self.backward_pass_fused(
-                    params, al_pad_bwd, c["Z"], c["rho"], c["drho"]
+                    params, al_pad_bwd, c["Z"], c["rho"], c["drho"], kern=bwd
                 )
                 J0 = bp["J0"]
             else:
@@ -1422,7 +1475,8 @@ class ALSolverBatched:
                 bp = self.backward_pass(exp, c["rho"], c["drho"])
             rho_d, drho_d = _decrease_reg(bp["rho"], bp["drho"], opts)
             fp = self.forward_pass(
-                params, al, c["Z"], bp, J0, rho_d, drho_d, al_pad
+                params, al, c["Z"], bp, J0, rho_d, drho_d, al_pad,
+                fwd_kern=fwd,
             )
             bp_failed = bp["failed"]
             status = jnp.where(
@@ -1549,12 +1603,25 @@ class ALSolverBatched:
             viol = jnp.maximum(viol, v.max(axis=(0, 1)))
         return viol
 
-    def solve(self, params: ProblemParams, Z: BatchedTrajectory, al=None):
-        """Full batched AL solve.  Returns dict with batch-last results."""
+    def solve(
+        self, params: ProblemParams, Z: BatchedTrajectory, al=None, active=None
+    ):
+        """Full batched AL solve.  Returns dict with batch-last results.
+
+        `active` [B] (optional) gates instances: inactive lanes are never
+        iterated (the solve is free when none are active) and their
+        outputs are the inputs passed through — used by the device-side
+        compaction tail (`solver/compaction.py`) where padding lanes hold
+        already-finished instances.
+        """
         opts = self.opts
         dt = Z.X.dtype
         Bsz = Z.X.shape[-1]
         N, n, m = self.prob.N, self.prob.n, self.prob.m
+        if active is None:
+            active0 = jnp.ones((Bsz,), bool)
+        else:
+            active0 = jnp.asarray(active, bool)
 
         if al is None:
             al = self.al_state_init(Bsz, dt)
@@ -1582,7 +1649,7 @@ class ALSolverBatched:
             )
 
         if not self.prob.constraint_families:
-            out = self.ilqr_solve(params, al, Z, stats, jnp.ones((Bsz,), bool))
+            out = self.ilqr_solve(params, al, Z, stats, active0)
             return dict(
                 Z=out["Z"], al=al, status=out["status"], stats=out["stats"],
                 K=out["K"], d=out["d"],
@@ -1703,7 +1770,7 @@ class ALSolverBatched:
             al=al,
             stats=stats,
             status=jnp.full((Bsz,), SolverStatus.UNSOLVED, jnp.int32),
-            done=jnp.zeros((Bsz,), bool),
+            done=~active0,
             K=jnp.zeros((N, m, n, Bsz), dt),
             d=jnp.zeros((N, m, Bsz), dt),
         )

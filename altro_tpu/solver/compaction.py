@@ -98,6 +98,8 @@ class CompactedALSolver:
         finish_stalled: bool = True,
         f64_polish: bool = False,
         polish_batch: int = 512,
+        device_tail: bool = False,
+        device_tail_rounds: int = 0,
     ):
         self.prob = prob
         self.opts = opts or SolverOptions()
@@ -108,7 +110,10 @@ class CompactedALSolver:
         self.finish_stalled = bool(finish_stalled)
         self.f64_polish = bool(f64_polish)
         self.polish_batch = int(polish_batch)
+        self.device_tail = bool(device_tail)
+        self.device_tail_rounds = int(device_tail_rounds)
         self._polish_solve = None
+        self._device_solve = None
         self.telemetry: dict = {}
 
         # Phases never update duals from a capped (unconverged) inner solve —
@@ -153,10 +158,199 @@ class CompactedALSolver:
     def _gather_Z(self, Z: BatchedTrajectory, idx) -> BatchedTrajectory:
         return dataclasses.replace(Z, X=Z.X[..., idx], U=Z.U[..., idx])
 
+    # ------------------------------------------------------ device-side tail
+    def _resumable_codes(self) -> list:
+        codes = [int(s) for s in _RESUMABLE]
+        if self.finish_stalled:
+            codes.append(int(SolverStatus.SOLVED_STALLED))
+        return codes
+
+    def _build_device_solve(self):
+        """One jitted program: capped phase-1 + `device_tail_rounds` rounds
+        of ON-DEVICE straggler compaction (argsort-gather the unconverged
+        lanes into a dense tail batch, solve with an active mask, scatter
+        back).  The host version pays a host↔device round trip per phase
+        boundary (~25-40 ms each through a tunneled device); this runs the
+        whole pipeline in ONE dispatch.  A round whose gathered lanes are
+        all finished costs nothing (the masked solve's while loops exit
+        immediately), so unneeded rounds are ~free."""
+        import jax
+        import jax.numpy as jnp
+
+        K_t = self.tail_batch
+        codes_np = np.asarray(self._resumable_codes(), np.int32)
+        canon = self.prob.params
+
+        def gather_params(params, idx):
+            return jax.tree_util.tree_map(
+                lambda c, leaf: (
+                    leaf[..., idx]
+                    if jnp.ndim(leaf) == jnp.ndim(c) + 1
+                    else leaf
+                ),
+                canon,
+                params,
+            )
+
+        def run(params, Zb, al):
+            res = self._p1.solve(params, Zb, al)
+            B = res["status"].shape[0]
+            # enough rounds to cover EVERY lane (matching the host path,
+            # which chunks all stragglers each round); rounds whose
+            # gathered lanes are already finished are ~free
+            rounds = self.device_tail_rounds or -(-B // K_t)
+            codes = jnp.asarray(codes_np)
+            # a lane that RAN an (uncapped) tail round is terminal — it
+            # received the full reference iteration budget (host-path
+            # `undone &= False` analog); without this a SOLVED_STALLED
+            # lane would be re-gathered every round
+            tried = jnp.zeros((B,), bool)
+            for _ in range(rounds):
+                status = res["status"]
+                undone = (status[:, None] == codes[None, :]).any(axis=1)
+                undone = undone & ~tried
+                # unconverged lanes first, stable order; take a dense K_t
+                order = jnp.argsort(~undone, stable=True)
+                idx = order[:K_t]
+                real = undone[idx]
+                params_t = gather_params(params, idx)
+                Z_t = self._gather_Z(res["Z"], idx)
+                al_t = self._gather(res["al"], idx)
+                sub = self._tail.solve(params_t, Z_t, al_t, active=real)
+                res = self._merge_device(res, sub, idx, real)
+                tried = tried.at[idx].set(tried[idx] | real)
+            return res
+
+        return run
+
+    @staticmethod
+    def _merge_device(res, sub, idx, real):
+        """Scatter a tail round's results back into the full-batch result,
+        masked to the real (unconverged-gathered) lanes."""
+        import jax
+        import jax.numpy as jnp
+
+        def sel(old, new):
+            return old.at[..., idx].set(jnp.where(real, new, old[..., idx]))
+
+        res = dict(res)
+        res["Z"] = dataclasses.replace(
+            res["Z"], X=sel(res["Z"].X, sub["Z"].X), U=sel(res["Z"].U, sub["Z"].U)
+        )
+        res["al"] = jax.tree_util.tree_map(sel, res["al"], sub["al"])
+        res["K"] = sel(res["K"], sub["K"])
+        res["d"] = sel(res["d"], sub["d"])
+        res["status"] = res["status"].at[idx].set(
+            jnp.where(real, sub["status"], res["status"][idx])
+        )
+        st, su = res["stats"], sub["stats"]
+        reali = real.astype(st.iterations_outer.dtype)
+        rows = st.rows
+        cap = rows.shape[0]
+        if cap > 0:
+            T0 = st.iterations_total[idx]
+            r = jnp.arange(cap)
+            valid = (r[:, None] < su.iterations_total[None, :]) & real[None, :]
+            dst = jnp.where(valid, T0[None, :] + r[:, None], cap)
+            lanes = jnp.broadcast_to(idx[None, :], dst.shape)
+            rows = rows.at[dst, :, lanes].set(
+                jnp.moveaxis(su.rows, 1, 2), mode="drop"
+            )
+
+        def sset(o, n_):
+            return o.at[idx].set(jnp.where(real, n_, o[idx]))
+
+        res["stats"] = st.replace(
+            iterations_inner=sset(st.iterations_inner, su.iterations_inner),
+            iterations_outer=st.iterations_outer.at[idx].add(
+                su.iterations_outer * reali
+            ),
+            iterations_total=st.iterations_total.at[idx].add(
+                su.iterations_total * reali
+            ),
+            cost=sset(st.cost, su.cost),
+            cost_decrease=sset(st.cost_decrease, su.cost_decrease),
+            gradient=sset(st.gradient, su.gradient),
+            alpha=sset(st.alpha, su.alpha),
+            improvement_ratio=sset(st.improvement_ratio, su.improvement_ratio),
+            violations=sset(st.violations, su.violations),
+            max_penalty=sset(st.max_penalty, su.max_penalty),
+            regularization=sset(st.regularization, su.regularization),
+            rows=rows,
+        )
+        return res
+
+    def _solve_device(self, params, Z: BatchedTrajectory, al=None):
+        """`solve` with the single-dispatch device-side tail (see
+        `_build_device_solve`); the f64 polish (rare path) stays host-side
+        and costs one status readback."""
+        import time as _time
+
+        import jax
+
+        t0 = _time.perf_counter()
+        if self._device_solve is None:
+            self._device_solve = jax.jit(self._build_device_solve())
+        res = self._device_solve(params, Z, al)
+        res = dict(res)
+        jax.block_until_ready(res["status"])
+        tel = {"phase1_s": _time.perf_counter() - t0, "tail_rounds": "device"}
+        if self.f64_polish:
+            hard = [int(s) for s in _RESUMABLE] + [int(SolverStatus.MAX_PENALTY)]
+            stages = [
+                (hard + [int(SolverStatus.SOLVED_STALLED)], {}),
+                (hard, dict(
+                    penalty_scaling=4.0,
+                    max_iterations_outer=60,
+                    max_iterations_total=900,
+                )),
+            ]
+            stage_tel = []
+            for si, (codes, extra) in enumerate(stages):
+                bad = np.isin(
+                    np.asarray(res["status"]), np.asarray(codes, np.int32)
+                )
+                if not bad.any():
+                    continue
+                t_p = _time.perf_counter()
+                n_bad = int(bad.sum())
+                self._run_polish(params, res, np.nonzero(bad)[0], Z, si, extra)
+                jax.block_until_ready(res["status"])
+                stage_tel.append(
+                    {"stage": si, "instances": n_bad,
+                     "wall_s": _time.perf_counter() - t_p}
+                )
+            if stage_tel:
+                st = np.asarray(res["status"])
+                tel["polish"] = {
+                    "instances": stage_tel[0]["instances"],
+                    "stages": stage_tel,
+                    "wall_s": sum(s["wall_s"] for s in stage_tel),
+                    "solved_after": int(
+                        np.sum(st == int(SolverStatus.SOLVED))
+                    ),
+                }
+        it = np.asarray(res["stats"].iterations_total)
+        tel["iters_p50"] = float(np.percentile(it, 50))
+        tel["iters_p95"] = float(np.percentile(it, 95))
+        tel["iters_p99"] = float(np.percentile(it, 99))
+        tel["iters_max"] = int(it.max())
+        tel["total_s"] = _time.perf_counter() - t0
+        self.telemetry = tel
+        return res
+
     # --------------------------------------------------------------- solve
     def solve(self, params, Z: BatchedTrajectory, al=None):
         """Same contract as `ALSolverBatched.solve` (batch-last dict)."""
         import time as _time
+
+        if self.device_tail:
+            if self.tail_iters > 0:
+                raise ValueError(
+                    "device_tail supports uncapped tail rounds only "
+                    "(tail_iters=0)"
+                )
+            return self._solve_device(params, Z, al)
 
         t0 = _time.perf_counter()
         res = self._p1_solve(params, Z, al)

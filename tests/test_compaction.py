@@ -135,3 +135,50 @@ def test_compacted_padding_does_not_multicount_stats():
     )
     # gross multi-counting would blow past the iteration cap
     assert np.asarray(res_p["stats"].iterations_total).max() <= opts.max_iterations_total
+
+
+def test_device_tail_bitwise_equals_host_tail():
+    """The single-dispatch device-side compaction (r5: argsort-gather tail
+    under jit, `CompactedALSolver(device_tail=True)`) reproduces the
+    host-orchestrated phases BITWISE — statuses, endpoints, iteration
+    counters, and the spliced per-iteration history rows."""
+    B = 96
+    prob, params_b, Zb = _fleet(B, seed=1, spread=0.3)
+    opts = SolverOptions(
+        backward_pass="scan", forward_pass="scan",
+        iteration_history_capacity=64,
+    )
+    # tail_batch=16 forces multiple chunks (96 stragglers -> 6 rounds)
+    host = CompactedALSolver(prob, opts, phase1_iters=5, tail_batch=16)
+    dev = CompactedALSolver(
+        prob, opts, phase1_iters=5, tail_batch=16, device_tail=True
+    )
+    rh = host.solve(params_b, Zb)
+    rd = dev.solve(params_b, Zb)
+    np.testing.assert_array_equal(
+        np.asarray(rh["status"]), np.asarray(rd["status"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(rh["Z"].U), np.asarray(rd["Z"].U), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rh["stats"].iterations_total),
+        np.asarray(rd["stats"].iterations_total),
+    )
+    np.testing.assert_allclose(
+        np.asarray(rh["stats"].rows), np.asarray(rd["stats"].rows),
+        rtol=0, atol=0,
+    )
+    # device telemetry still reports the iteration distribution
+    assert dev.telemetry["iters_max"] >= 1
+
+
+def test_device_tail_rejects_capped_tail_rounds():
+    prob, params_b, Zb = _fleet(8)
+    comp = CompactedALSolver(
+        prob, SolverOptions(), tail_iters=5, device_tail=True
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        comp.solve(params_b, Zb)
