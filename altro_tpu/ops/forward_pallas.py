@@ -441,6 +441,43 @@ class ForwardKernel:
                     J += Hv(i, j) * x[i] * u[j]
         return J
 
+    @staticmethod
+    def _comp_circle(dx, dy, r):
+        """r² − dx² − dy² in compensated (double-f32) arithmetic, collapsed
+        to a correctly-rounded f32.
+
+        The plain f32 expression carries ~ε·O(r²) ABSOLUTE error from the
+        cancelling squares; the AL machinery multiplies c by penalties up
+        to 1e8 (`constraint_values.hpp:131-143`), so that floor becomes
+        O(1) noise in the gradient and dual update — the measured cause of
+        the obstacle fleets' f32 MAX_PENALTY residue
+        (perf/obstacle_f32_floor.out).  Dekker-split squares + compensated
+        summation make the error RELATIVE (~ε·|c|), which the penalty
+        scaling cannot amplify.  ~20 extra VPU ops per obstacle row.
+        """
+        split = 4097.0  # 2^12 + 1 (f32 Dekker split constant)
+
+        def two_sq(a):
+            t = a * split
+            hi = t - (t - a)
+            lo = a - hi
+            sq = a * a
+            err = ((hi * hi - sq) + 2.0 * hi * lo) + lo * lo
+            return sq, err
+
+        def two_diff(a, b):
+            s = a - b
+            bb = s - a
+            err = (a - (s - bb)) - (b + bb)
+            return s, err
+
+        r2, r2e = two_sq(r + jnp.zeros_like(dx))
+        x2, x2e = two_sq(dx)
+        y2, y2e = two_sq(dy)
+        s1, e1 = two_diff(r2, x2)
+        s2, e2 = two_diff(s1, y2)
+        return s2 + (((r2e - x2e) - y2e) + e1 + e2)
+
     def _tile_con_rows(self, get, sig, f, x, u):
         """Constraint rows [p] of [self.sub,self.lane] arrays for one family."""
         fi = f["fi"]
@@ -455,7 +492,7 @@ class ForwardKernel:
             rows = [lb(j) - u[j] for j in lo_idx]
             rows += [u[j] - ub(j) for j in hi_idx]
             return rows
-        # circle
+        # circle — compensated evaluation, see _comp_circle
         _, xi, yi = f["structure"]
         cx = self._pacc(get, sig, f"con{fi}_cx")
         cy = self._pacc(get, sig, f"con{fi}_cy")
@@ -464,7 +501,7 @@ class ForwardKernel:
         for o in range(f["p"]):
             dx = x[xi] - cx(o)
             dy = x[yi] - cy(o)
-            rows.append(rr(o) * rr(o) - dx * dx - dy * dy)
+            rows.append(self._comp_circle(dx, dy, rr(o)))
         return rows
 
     @staticmethod

@@ -142,6 +142,18 @@ class SolverOptions:
     # to the scans otherwise).
     forward_pass: str = "scan"
 
+    # Evaluate the batched solver's OUTER-loop constraint values, dual
+    # updates (λ ← Π(λ−ρc)), and max-violation measure in float64
+    # (software-emulated on TPU).  These run once per outer iteration on
+    # small arrays, so the cost is negligible — but they are exactly where
+    # the f32 error in c is amplified by penalties up to 1e8
+    # (`constraint_values.hpp:192-207`): an f32 dual update injects
+    # ρ·O(1e-7) noise into λ, and an f32 violation measure cannot resolve
+    # the 1e-4 tolerance it is compared against.  Off by default so the
+    # batched solver stays bit-comparable with the per-instance f32
+    # solver; the shipped bench configs enable it.
+    outer_constraints_f64: bool = False
+
     # Sublane rows per Pallas batch tile (tile = sublanes × 128 lanes).
     # 0 (default) = auto: the largest of (32, 16, 8) dividing the batch,
     # so a B=4096 fleet runs ONE batch tile of (32, 128) per grid step

@@ -1421,9 +1421,19 @@ class ALSolverBatched:
         )
 
     # ------------------------------------------------------------- inner solve
-    def ilqr_solve(self, params, al, Z, stats: BatchedStats, outer_active):
-        """Masked batched inner solve; `outer_active` [B] gates instances."""
+    def ilqr_solve(
+        self, params, al, Z, stats: BatchedStats, outer_active, lane_opts=None
+    ):
+        """Masked batched inner solve; `outer_active` [B] gates instances.
+
+        `lane_opts` (optional dict of [B] arrays) overrides
+        `max_iterations_total` per lane — see :meth:`solve`.
+        """
         opts = self.opts
+        lane_opts = lane_opts or {}
+        max_total = lane_opts.get(
+            "max_iterations_total", opts.max_iterations_total
+        )
         dt = Z.X.dtype
         Bsz = Z.X.shape[-1]
         N, n, m = self.prob.N, self.prob.n, self.prob.m
@@ -1504,7 +1514,7 @@ class ALSolverBatched:
             else:
                 stalled = jnp.zeros_like(converged)
             hit_inner = inner >= opts.max_iterations_inner
-            hit_total = total >= opts.max_iterations_total
+            hit_total = total >= max_total
             bad = status != jnp.int32(SolverStatus.UNSOLVED)
             status = jnp.where(
                 converged,
@@ -1589,6 +1599,55 @@ class ALSolverBatched:
             )
         )
 
+    def _outer_duals_and_violation(self, params, Z, al, upd):
+        """Dual update λ ← Π_{K*}(λ−ρc) + max-violation measure for the
+        outer loop.  Runs in f64 when `opts.outer_constraints_f64` (see
+        the option's rationale: the f32 error in c is ρ-amplified exactly
+        here); everything f64 happens inside one enable_x64 block and only
+        f32 results leave it.  Returns (al_new tuple, viol [B] f32)."""
+        dt = Z.X.dtype
+        Bsz = Z.X.shape[-1]
+        use64 = self.opts.outer_constraints_f64 and dt == jnp.float32
+
+        def compute(params_c, Z_c, cdt):
+            cvals = self.constraint_values(params_c, Z_c)
+            al_new = []
+            for fam, st, cv in zip(self.prob.constraint_families, al, cvals):
+                dual = dual_cone(fam.cone)
+                s = st["lam"].astype(cdt) - st["rho"].astype(cdt)[
+                    :, None, :
+                ] * cv
+                if dual is Cone.IDENTITY:
+                    lam = s
+                elif dual is Cone.ZERO:
+                    lam = jnp.zeros_like(s)
+                elif dual is Cone.SECOND_ORDER:
+                    lam = soc_project_bl(s)
+                else:
+                    lam = jnp.minimum(s, 0.0)
+                lam = bwhere(upd, lam.astype(dt), st["lam"])
+                al_new.append(dict(lam=lam, rho=st["rho"]))
+            viol = self.max_violation(cvals, Bsz, cdt).astype(dt)
+            return tuple(al_new), viol
+
+        if not use64:
+            return compute(params, Z, dt)
+        with jax.enable_x64():
+            f64 = jnp.float64
+
+            def cast(leaf):
+                leaf = jnp.asarray(leaf)
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    return leaf.astype(f64)
+                return leaf
+
+            Z64 = dataclasses.replace(
+                Z, X=Z.X.astype(f64), U=Z.U.astype(f64),
+                t=Z.t.astype(f64), h=Z.h.astype(f64),
+            )
+            params64 = jax.tree_util.tree_map(cast, params)
+            return compute(params64, Z64, f64)
+
     def max_violation(self, cvals, Bsz, dtype):
         viol = jnp.zeros((Bsz,), dtype)
         for fam, c in zip(self.prob.constraint_families, cvals):
@@ -1604,7 +1663,12 @@ class ALSolverBatched:
         return viol
 
     def solve(
-        self, params: ProblemParams, Z: BatchedTrajectory, al=None, active=None
+        self,
+        params: ProblemParams,
+        Z: BatchedTrajectory,
+        al=None,
+        active=None,
+        lane_opts=None,
     ):
         """Full batched AL solve.  Returns dict with batch-last results.
 
@@ -1613,8 +1677,23 @@ class ALSolverBatched:
         outputs are the inputs passed through — used by the device-side
         compaction tail (`solver/compaction.py`) where padding lanes hold
         already-finished instances.
+
+        `lane_opts` (optional dict of [B] arrays) overrides selected
+        solver options PER LANE: `penalty_scaling`,
+        `max_iterations_outer`, `max_iterations_total`.  This is what
+        lets a restart portfolio (`solver/compaction.py`) run several
+        penalty-ladder variants of the same instances side by side in one
+        widened batch instead of sequential rounds.
         """
         opts = self.opts
+        lane_opts = lane_opts or {}
+        ps_lane = lane_opts.get("penalty_scaling", opts.penalty_scaling)
+        max_outer = lane_opts.get(
+            "max_iterations_outer", opts.max_iterations_outer
+        )
+        max_total_l = lane_opts.get(
+            "max_iterations_total", opts.max_iterations_total
+        )
         dt = Z.X.dtype
         Bsz = Z.X.shape[-1]
         N, n, m = self.prob.N, self.prob.n, self.prob.m
@@ -1649,7 +1728,7 @@ class ALSolverBatched:
             )
 
         if not self.prob.constraint_families:
-            out = self.ilqr_solve(params, al, Z, stats, active0)
+            out = self.ilqr_solve(params, al, Z, stats, active0, lane_opts)
             return dict(
                 Z=out["Z"], al=al, status=out["status"], stats=out["stats"],
                 K=out["K"], d=out["d"],
@@ -1660,10 +1739,11 @@ class ALSolverBatched:
 
         def body(c):
             active = ~c["done"]
-            res = self.ilqr_solve(params, c["al"], c["Z"], c["stats"], active)
+            res = self.ilqr_solve(
+                params, c["al"], c["Z"], c["stats"], active, lane_opts
+            )
             Z2 = res["Z"]
             stats: BatchedStats = res["stats"]
-            cvals = self.constraint_values(params, Z2)
             inner_solved = res["status"] == jnp.int32(SolverStatus.SOLVED)
             # a stall-exited inner solve continues the outer loop (see
             # solver/al.py) but taints the final status to SOLVED_STALLED
@@ -1673,21 +1753,9 @@ class ALSolverBatched:
             upd = active if opts.update_duals_on_failed_inner else (
                 active & inner_ok
             )
-            al_new = []
-            for fam, st, cv in zip(self.prob.constraint_families, c["al"], cvals):
-                dual = dual_cone(fam.cone)
-                s = st["lam"] - st["rho"][:, None, :] * cv
-                if dual is Cone.IDENTITY:
-                    lam = s
-                elif dual is Cone.ZERO:
-                    lam = jnp.zeros_like(s)
-                elif dual is Cone.SECOND_ORDER:
-                    lam = soc_project_bl(s)
-                else:
-                    lam = jnp.minimum(s, 0.0)
-                lam = bwhere(upd, lam, st["lam"])
-                al_new.append(dict(lam=lam, rho=st["rho"]))
-            viol = self.max_violation(cvals, Bsz, dt)
+            al_new, viol = self._outer_duals_and_violation(
+                params, Z2, c["al"], upd
+            )
             pen = jnp.zeros((Bsz,), dt)
             for st in al_new:
                 pen = jnp.maximum(pen, st["rho"].max(axis=0))
@@ -1700,8 +1768,8 @@ class ALSolverBatched:
 
             sat = viol < opts.constraint_tolerance
             pen_hi = pen > opts.maximum_penalty
-            outer_hi = outer >= opts.max_iterations_outer
-            total_hi = stats.iterations_total >= opts.max_iterations_total
+            outer_hi = outer >= max_outer
+            total_hi = stats.iterations_total >= max_total_l
             # stalled_feasible_exits=False: a feasible-but-stalled instance
             # keeps escalating the penalty until its inner solve genuinely
             # converges (see SolverOptions)
@@ -1751,7 +1819,7 @@ class ALSolverBatched:
             al_next = tuple(
                 dict(
                     lam=st["lam"],
-                    rho=bwhere(cont, st["rho"] * opts.penalty_scaling, st["rho"]),
+                    rho=bwhere(cont, st["rho"] * ps_lane, st["rho"]),
                 )
                 for st in al_new
             )

@@ -100,6 +100,9 @@ class CompactedALSolver:
         polish_batch: int = 512,
         device_tail: bool = False,
         device_tail_rounds: int = 0,
+        restart_portfolio: tuple = (),
+        restart_width: int = 0,
+        restart_rounds: int = 1,
     ):
         self.prob = prob
         self.opts = opts or SolverOptions()
@@ -112,6 +115,21 @@ class CompactedALSolver:
         self.polish_batch = int(polish_batch)
         self.device_tail = bool(device_tail)
         self.device_tail_rounds = int(device_tail_rounds)
+        # Restart portfolio (r5, device path only): after the tail rounds,
+        # re-solve the still-unSOLVED residue FRESH (original initial
+        # guess, zero duals) under a CASCADE of penalty-ladder variants —
+        # each variant gathers whatever every earlier one failed, so the
+        # deep/gentle ladders only ever see the hard residue.  All f32, on
+        # the same fused kernels, inside the same single-dispatch device
+        # program.  Measured on the three-obstacle fleet: 91.7% → 99.7%
+        # SOLVED with no f64 re-solve tail.  Each entry is a dict with any
+        # of `penalty_scaling`, `initial_penalty`, `max_iterations_outer`,
+        # `max_iterations_total`.
+        self.restart_portfolio = tuple(restart_portfolio)
+        self.restart_width = int(restart_width)
+        self.restart_rounds = int(restart_rounds)
+        if self.restart_portfolio and not self.device_tail:
+            raise ValueError("restart_portfolio requires device_tail=True")
         self._polish_solve = None
         self._device_solve = None
         self.telemetry: dict = {}
@@ -143,6 +161,18 @@ class CompactedALSolver:
         self._tail = ALSolverBatched(prob, tail_opts)
         self._p1_solve = jax.jit(self._p1.solve)
         self._tail_solve = jax.jit(self._tail.solve)
+        self._restart = None
+        if self.restart_portfolio:
+            # fresh-start solver: duals/penalties come in via the explicit
+            # al argument (per-variant), so disable the al transforms
+            self._restart = ALSolverBatched(
+                prob,
+                self.opts.replace(
+                    reset_duals=False,
+                    initial_penalty=0.0,
+                    update_duals_on_failed_inner=False,
+                ),
+            )
 
     # ------------------------------------------------------------- helpers
     @staticmethod
@@ -219,9 +249,94 @@ class CompactedALSolver:
                 sub = self._tail.solve(params_t, Z_t, al_t, active=real)
                 res = self._merge_device(res, sub, idx, real)
                 tried = tried.at[idx].set(tried[idx] | real)
+
+            V = len(self.restart_portfolio)
+            if V:
+                res = self._portfolio_rounds(params, Zb, res, V)
             return res
 
         return run
+
+    def _portfolio_rounds(self, params, Zb, res, V):
+        """Fresh-restart cascade stage of the device program — see the
+        `restart_portfolio` constructor doc.
+
+        The variants run SEQUENTIALLY, each on the instances every earlier
+        variant failed: a side-by-side (lane-tiled) portfolio was measured
+        3x slower on the three-obstacle fleet because its single lockstep
+        runs to the DEEPEST variant's trip count for every instance, while
+        the cascade pays each variant's depth only for the (shrinking)
+        residue that reaches it.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        opts = self.opts
+        canon = self.prob.params
+        dt = Zb.X.dtype
+        B = res["status"].shape[0]
+        R = self.restart_width or self.tail_batch
+
+        def gp(params, idx):
+            return jax.tree_util.tree_map(
+                lambda c, leaf: (
+                    leaf[..., idx]
+                    if jnp.ndim(leaf) == jnp.ndim(c) + 1
+                    else leaf
+                ),
+                canon,
+                params,
+            )
+
+        solved_code = jnp.int32(SolverStatus.SOLVED)
+        for _ in range(self.restart_rounds):
+            for variant in self.restart_portfolio:
+                lane_opts = dict(
+                    penalty_scaling=jnp.full(
+                        (R,),
+                        variant.get("penalty_scaling", opts.penalty_scaling),
+                        dt,
+                    ),
+                    max_iterations_outer=jnp.full(
+                        (R,),
+                        variant.get(
+                            "max_iterations_outer", opts.max_iterations_outer
+                        ),
+                        jnp.int32,
+                    ),
+                    max_iterations_total=jnp.full(
+                        (R,),
+                        variant.get(
+                            "max_iterations_total", opts.max_iterations_total
+                        ),
+                        jnp.int32,
+                    ),
+                )
+                rho0 = variant.get("initial_penalty", opts.initial_penalty)
+                al_r = tuple(
+                    dict(
+                        lam=jnp.zeros((len(f.knots), f.dim, R), dt),
+                        rho=jnp.full((len(f.knots), R), rho0, dt),
+                    )
+                    for f in self.prob.constraint_families
+                )
+                undone = res["status"] != solved_code
+                order = jnp.argsort(~undone, stable=True)
+                idx = order[:R]
+                real = undone[idx]
+                params_r = gp(params, idx)
+                # restarts begin from the ORIGINAL initial guess, not the
+                # failed high-penalty trajectory (measured: warm-starting
+                # the restart converts fewer — perf/obstacle_f32_floor.out)
+                Z_r = dataclasses.replace(
+                    Zb, X=Zb.X[..., idx], U=Zb.U[..., idx]
+                )
+                sub = self._restart.solve(
+                    params_r, Z_r, al_r, active=real, lane_opts=lane_opts
+                )
+                ok = sub["status"] == solved_code
+                res = self._merge_device(res, sub, idx, real & ok)
+        return res
 
     @staticmethod
     def _merge_device(res, sub, idx, real):

@@ -103,17 +103,34 @@ def main() -> None:
     )
     baseline = 1000.0 / 31.768  # reference wall on its (fixed) 3-obstacle run
 
-    # two modes: pure-f32 throughput, and f64-complete (polish finishes the
-    # f32 precision-floor residue; randomized layouts leave a bigger
-    # residue than the fixed scenario — ~27% vs ~8%)
-    for mode, polish in (("f32_throughput", False), ("f64_complete", True)):
+    # two modes: pure-f32 throughput, and "complete" — r5: the residue is
+    # finished by the on-device fresh-restart CASCADE (penalty-ladder
+    # variants, all f32, single dispatch) instead of the ~20x-slower
+    # host-side f64 re-solve tail (r4: 114 solves/s in f64_complete mode)
+    for mode, portfolio in (("f32_throughput", False), ("complete", True)):
+        kw = {}
+        if portfolio:
+            kw = dict(
+                restart_portfolio=(
+                    dict(),
+                    dict(penalty_scaling=4.0, max_iterations_outer=60,
+                         max_iterations_total=900),
+                    dict(penalty_scaling=2.0, max_iterations_outer=100,
+                         max_iterations_total=1000),
+                    dict(penalty_scaling=1.5, max_iterations_outer=150,
+                         max_iterations_total=1600),
+                ),
+                restart_width=1024,
+                restart_rounds=1,
+            )
         # scenario config per the measured sweep
         # (perf/obstacle_f32_floor.out): reference-default 20-try search
         solver = bench.make_solver(
             prob, batch, initial_penalty=1.0,
             line_search_max_iterations=20, max_stall_iterations=10,
+            outer_constraints_f64=True, **kw,
         )
-        solver.f64_polish = polish
+        solver.f64_polish = False
 
         # the whole point of r4: the randomized fleet runs ON the kernels
         assert solver._p1._use_fwd(params_b, Zb), "forward kernel not engaged"
@@ -126,7 +143,7 @@ def main() -> None:
         res = solver.solve(params_b, Zb)
         jax.block_until_ready(res["Z"].U)
         walls = []
-        for _ in range(3 if polish else 5):
+        for _ in range(5):
             t0 = time.perf_counter()
             res = solver.solve(params_b, Zb)
             jax.block_until_ready(res["Z"].U)
@@ -169,6 +186,7 @@ def main() -> None:
             ),
             "goal_err_p99": round(float(np.percentile(goal_err, 99)), 6),
             "f64_polish": solver.telemetry.get("polish"),
+            "restart_portfolio": bool(portfolio),
             "device": str(jax.devices()[0]),
         }), flush=True)
 

@@ -182,3 +182,93 @@ def test_device_tail_rejects_capped_tail_rounds():
 
     with _pytest.raises(ValueError):
         comp.solve(params_b, Zb)
+
+
+def test_lane_opts_match_scalar_options():
+    """Per-lane option overrides (`lane_opts`, r5) reproduce scalar-option
+    solves lane by lane: a batch whose lanes carry penalty_scaling 10/4
+    must equal the corresponding uniform-option solves bitwise."""
+    B = 16
+    prob, params_b, Zb = _fleet(B, seed=3, spread=0.35)
+    base = SolverOptions(
+        backward_pass="scan", forward_pass="scan", initial_penalty=1.0,
+        line_search_max_iterations=20, max_stall_iterations=10,
+    )
+    s10 = ALSolverBatched(prob, base)
+    s4 = ALSolverBatched(prob, base.replace(penalty_scaling=4.0))
+    r10 = jax.jit(s10.solve)(params_b, Zb)
+    r4 = jax.jit(s4.solve)(params_b, Zb)
+    ps = jnp.asarray([10.0] * (B // 2) + [4.0] * (B // 2), Zb.X.dtype)
+    lane_opts = dict(penalty_scaling=ps)
+    rl = jax.jit(lambda p, Z: s10.solve(p, Z, lane_opts=lane_opts))(
+        params_b, Zb
+    )
+    half = B // 2
+    np.testing.assert_array_equal(
+        np.asarray(rl["status"][:half]), np.asarray(r10["status"][:half])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rl["status"][half:]), np.asarray(r4["status"][half:])
+    )
+    np.testing.assert_allclose(
+        np.asarray(rl["Z"].U[..., :half]),
+        np.asarray(r10["Z"].U[..., :half]), rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rl["Z"].U[..., half:]),
+        np.asarray(r4["Z"].U[..., half:]), rtol=0, atol=0,
+    )
+
+
+def test_restart_cascade_converts_residue():
+    """The fresh-restart cascade (device path) converts instances the
+    plain phases leave unSOLVED, without touching already-solved lanes."""
+    B = 64
+    import altro_tpu.models.problems as mp
+
+    defn = mp.UnicycleProblem(scenario="three_obstacles", dtype=jnp.float32)
+    defn.N = 30
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    rng = np.random.default_rng(0)
+    params_b = prob.params.replace(
+        x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, B)), jnp.float32)
+    )
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0
+        )
+    )
+    opts = SolverOptions(
+        backward_pass="scan", forward_pass="scan", initial_penalty=1.0,
+        line_search_max_iterations=20, max_stall_iterations=10,
+        outer_constraints_f64=True,
+    )
+    plain = CompactedALSolver(
+        prob, opts, phase1_iters=10, tail_batch=32, device_tail=True
+    )
+    casc = CompactedALSolver(
+        prob, opts, phase1_iters=10, tail_batch=32, device_tail=True,
+        restart_portfolio=(
+            dict(),
+            dict(penalty_scaling=4.0, max_iterations_outer=60,
+                 max_iterations_total=900),
+            dict(penalty_scaling=1.5, max_iterations_outer=120,
+                 max_iterations_total=1100),
+        ),
+        restart_width=32,
+    )
+    rp = plain.solve(params_b, Zb)
+    rc = casc.solve(params_b, Zb)
+    sp = np.asarray(rp["status"])
+    sc = np.asarray(rc["status"])
+    solved = int(SolverStatus.SOLVED)
+    assert (sc == solved).sum() > (sp == solved).sum()
+    # lanes the plain phases solved keep their exact results
+    keep = sp == solved
+    np.testing.assert_array_equal(sc[keep], sp[keep])
+    np.testing.assert_allclose(
+        np.asarray(rc["Z"].U[..., keep]),
+        np.asarray(rp["Z"].U[..., keep]), rtol=0, atol=0,
+    )
