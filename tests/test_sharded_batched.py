@@ -125,3 +125,45 @@ def test_sharded_per_instance_params():
     np.testing.assert_allclose(
         np.asarray(res["Z"].U), np.asarray(ref["Z"].U), rtol=0, atol=0
     )
+
+
+def test_collective_traffic_is_scalar_folds():
+    """The sharded solve's compiled program moves ~NO data between
+    devices: its only collectives are the three scalar statistics folds
+    the reference performs in shared memory (`al_solver.hpp:417-434`) —
+    one max-violation fold and two solved/stalled counts, ≈16 bytes per
+    device per SOLVE.  No all-gather / all-to-all / collective-permute of
+    solver state may appear (r5: makes the '12 bytes of collectives'
+    scaling argument an assertion, not prose)."""
+    prob, params, Zb = _setup(jnp.float32)
+    mesh = make_mesh(jax.devices())
+    s = ShardedBatchedALSolver(prob, mesh, SolverOptions())
+    fn = s._build(s.shard_params(params), Zb)
+    hlo = fn.lower(params, Zb).compile().as_text()
+    assert "all-gather" not in hlo, "unexpected data-moving collective"
+    assert "all-to-all" not in hlo, "unexpected data-moving collective"
+    assert "collective-permute" not in hlo, "unexpected data-moving collective"
+    # every all-reduce operates on scalars (result shapes like f32[] /
+    # (s32[], s32[])); sum the result bytes over all all-reduce ops
+    import re
+
+    total_bytes = 0
+    n_reduce = 0
+    for line in hlo.splitlines():
+        if " all-reduce(" not in line:
+            continue
+        lhs = line.split(" all-reduce(")[0]
+        shapes = re.findall(r"([a-z]+\d*)\[([\d,]*)\]", lhs)
+        assert shapes, line
+        for dt, dims in shapes:
+            n_elem = 1
+            if dims:
+                for d in dims.split(","):
+                    n_elem *= int(d)
+            width = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "pred": 1}.get(
+                dt, 8
+            )
+            total_bytes += n_elem * width
+        n_reduce += 1
+    assert n_reduce >= 1, "expected the statistics folds to be present"
+    assert total_bytes <= 32, (n_reduce, total_bytes)
