@@ -31,14 +31,30 @@ def _quat_multiply(q, r):
     )
 
 
+def _cross3(a, b):
+    """Component cross product over the LEADING axis — shape-polymorphic:
+    works for [3] states and for the fused kernels' [3, sub, lane] tiles
+    (jnp.cross assumes the trailing axis)."""
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
 def _quat_rotate(q, v):
     """Rotate vector v by unit quaternion q (body -> world)."""
     w = q[0]
     u = q[1:]
-    return v + 2.0 * jnp.cross(u, jnp.cross(u, v) + w * v)
+    return v + 2.0 * _cross3(u, _cross3(u, v) + w * v)
 
 
 def _quadrotor_dynamics(params, x, u, t):
+    """Shape-polymorphic over trailing axes: every op is component-wise in
+    the leading (state) axis, so the same fn serves the per-instance
+    solver (x [13]) and the fused Pallas kernels (x [13, sub, lane])."""
     del t
     mass = params["mass"]
     J = params["J"]  # diagonal inertia [3]
@@ -50,9 +66,10 @@ def _quadrotor_dynamics(params, x, u, t):
     q = x[3:7]
     v = x[7:10]
     omega = x[10:13]
+    zero = jnp.zeros_like(x[0])
 
     F = kf * u  # rotor thrusts
-    thrust_body = jnp.stack([0.0 * F[0], 0.0 * F[0], F.sum()])
+    thrust_body = jnp.stack([zero, zero, F.sum(axis=0)])
     # torques: rotors at +x, +y, -x, -y arms; alternating spin directions
     tau = jnp.stack(
         [
@@ -63,10 +80,15 @@ def _quadrotor_dynamics(params, x, u, t):
     )
 
     pdot = v
-    qdot = 0.5 * _quat_multiply(q, jnp.concatenate([jnp.zeros(1), omega]))
-    vdot = jnp.array([0.0, 0.0, -g]) + _quat_rotate(q, thrust_body) / mass
-    wdot = (tau - jnp.cross(omega, J * omega)) / J
-    return jnp.concatenate([pdot, qdot, vdot, wdot])
+    qdot = 0.5 * _quat_multiply(
+        q, jnp.concatenate([zero[None], omega], axis=0)
+    )
+    g_vec = jnp.stack([zero, zero, zero - g])
+    vdot = g_vec + _quat_rotate(q, thrust_body) / mass
+    Jw = jnp.stack([J[i] * omega[i] for i in range(3)])
+    wnum = tau - _cross3(omega, Jw)
+    wdot = jnp.stack([wnum[i] / J[i] for i in range(3)])
+    return jnp.concatenate([pdot, qdot, vdot, wdot], axis=0)
 
 
 def quadrotor(

@@ -88,12 +88,16 @@ def _contiguous(knots: np.ndarray) -> tuple[int, int]:
 
 
 def _scalar_leaves(params) -> list:
-    """Flatten a params pytree into scalar leaves; Ineligible if any leaf
-    is larger than a scalar (the SMEM/tile passing convention)."""
+    """Flatten a params pytree into scalar/small-vector leaves; Ineligible
+    beyond rank 1 (the SMEM/tile passing convention: scalars read as SMEM
+    values, vector leaves as per-element SMEM rows rebuilt with
+    `jnp.stack` inside the kernel — e.g. the quadrotor's inertia [3])."""
     leaves = jax.tree_util.tree_leaves(params)
     for leaf in leaves:
-        if np.ndim(leaf) != 0 and np.size(leaf) != 1:
-            raise Ineligible("dynamics params must be scalars for the kernel")
+        if np.ndim(leaf) > 1:
+            raise Ineligible(
+                "dynamics params must be scalars or vectors for the kernel"
+            )
     return leaves
 
 
@@ -146,7 +150,9 @@ class ForwardKernel:
             raise Ineligible("unknown integrator")
         self._cont_fn = dyn.model.continuous_fn
         self._method = dyn.model.method
-        self._dyn_leaf_count = len(_scalar_leaves(prob.params.dynamics[0]))
+        dyn_leaves = _scalar_leaves(prob.params.dynamics[0])
+        self._dyn_leaf_count = len(dyn_leaves)
+        self._dyn_leaf_shapes = [np.shape(l) for l in dyn_leaves]
         self._dyn_treedef = jax.tree_util.tree_structure(prob.params.dynamics[0])
         # trace-check the continuous fn on tile-shaped states
         try:
@@ -363,11 +369,18 @@ class ForwardKernel:
         return x + h * (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
 
     def _dyn_params_in_kernel(self, get, sig):
-        """Unflatten the dynamics param tree from SMEM scalars / VMEM tiles."""
-        leaves = [
-            self._pacc(get, sig, f"dyn{i}")()
-            for i in range(self._dyn_leaf_count)
-        ]
+        """Unflatten the dynamics param tree from SMEM scalars / VMEM
+        tiles.  Vector leaves (canonical rank 1, e.g. inertia [3]) are
+        rebuilt with `jnp.stack` over their SMEM rows / per-instance
+        tiles — the continuous fn must index them component-wise (the
+        shape-polymorphic model convention)."""
+        leaves = []
+        for i, shape in enumerate(self._dyn_leaf_shapes):
+            acc = self._pacc(get, sig, f"dyn{i}")
+            if shape == ():
+                leaves.append(acc())
+            else:
+                leaves.append(jnp.stack([acc(j) for j in range(shape[0])]))
         return jax.tree_util.tree_unflatten(self._dyn_treedef, leaves)
 
     def _cost_acc(self, get, sig, f, pname, blk, flatdim=None):

@@ -130,9 +130,16 @@ class SolverOptions:
     # `ops/riccati_pallas.py`), "fused" (expansions computed INSIDE the
     # Riccati kernel — no materialized [N,·,·,B] expansion tensors, J0 for
     # free; `ops/backward_fused_pallas.py`, falls back to "pallas" behavior
-    # on ineligible problems), or "pscan" (associative-scan parallel
-    # Riccati, arXiv:1809.06360) — TPU-native replacements for the
-    # reference's strictly sequential loop (`ilqr/ilqr.hpp:402-441`).
+    # on ineligible problems) — TPU-native replacements for the reference's
+    # strictly sequential loop (`ilqr/ilqr.hpp:402-441`).
+    #
+    # "pscan" (associative-scan parallel Riccati, arXiv:1809.06360) was
+    # RETIRED as an option in r5: it was measured slower than the
+    # sequential sweep at every (N, B) on both CPU and TPU
+    # (PARITY.md:149-178, perf/pscan_crossover.out) and its f32 element
+    # composition diverges in its only motivating regime (N >= 2048).  The
+    # implementation remains as a tested research note
+    # (`solver/pscan.py`, `solver/pscan_batched.py`).
     backward_pass: str = "scan"
 
     # Forward-pass kernel selection for the batch-native solver: "scan"

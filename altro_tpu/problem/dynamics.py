@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass, static_field
 
@@ -36,6 +37,24 @@ class ContinuousModel:
 
     def __call__(self, x, u, t):
         return self.fn(self.params, x, u, t)
+
+    def hessian_vp(self, x, u, t, b):
+        """Dynamics Hessian-vector product ∂²(bᵀ f)/∂(x,u)² — the
+        reference's `FunctionBase::Hessian(x, u, b, hess)` surface
+        (`altro/common/functionbase.hpp:53-87`; the unicycle ships an
+        analytic one, `examples/unicycle.cpp:33-43`).  Unused by the
+        AL-iLQR solver (Gauss-Newton, like the reference's), but part of
+        the L1 API: one `jax.hessian` of the b-weighted dynamics.
+        Returns the (n+m)×(n+m) Hessian over the stacked (x, u) input.
+        """
+        x = jnp.asarray(x)
+        u = jnp.asarray(u)
+        n = x.shape[0]
+
+        def scalar(z):
+            return jnp.dot(jnp.asarray(b), self.fn(self.params, z[:n], z[n:], t))
+
+        return jax.hessian(scalar)(jnp.concatenate([x, u]))
 
 
 @pytree_dataclass
@@ -66,6 +85,22 @@ class DiscreteModel:
         if self.jac_fn is not None:
             return self.jac_fn(self.params, x, u, t, h)
         return jax.jacfwd(self.fn, argnums=(1, 2))(self.params, x, u, t, h)
+
+    def hessian_vp(self, x, u, t, h, b):
+        """Discrete-dynamics Hessian-vector product ∂²(bᵀ f)/∂(x,u)² —
+        see `ContinuousModel.hessian_vp` (the reference routes the same
+        API through its `DiscreteDynamics`, `problem/dynamics.hpp:167-186`).
+        """
+        x = jnp.asarray(x)
+        u = jnp.asarray(u)
+        n = x.shape[0]
+
+        def scalar(z):
+            return jnp.dot(
+                jnp.asarray(b), self.fn(self.params, z[:n], z[n:], t, h)
+            )
+
+        return jax.hessian(scalar)(jnp.concatenate([x, u]))
 
 
 def rk4_step(f: Callable, params, x, u, t, h):

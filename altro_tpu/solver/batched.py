@@ -1078,7 +1078,8 @@ class ALSolverBatched:
         `ops/riccati_pallas.py`; requires batch % 1024 == 0), "fused"
         (expansions computed inside the sweep,
         `ops/backward_fused_pallas.py` — selected in :meth:`ilqr_solve`;
-        this method is its ineligible-problem fallback), or "pscan"
+        this method is its ineligible-problem fallback; "pscan" retired
+        r5 — see SolverOptions.backward_pass)
         (associative-scan parallel Riccati in batch-last layout,
         `solver/pscan_batched.py`; O(log N) depth for long horizons).
         """
@@ -1094,10 +1095,11 @@ class ALSolverBatched:
             else:
                 sweep = self.riccati_scan
         elif opts.backward_pass == "pscan":
-            from .pscan_batched import riccati_pscan_batched
-
-            sweep = lambda e, r: riccati_pscan_batched(
-                e, r, gain_limit=opts.bp_gain_limit
+            raise ValueError(
+                "backward_pass='pscan' was retired in r5 (measured slower "
+                "than the sequential sweep everywhere - PARITY.md); use "
+                "solver.pscan_batched.riccati_pscan_batched directly for "
+                "research"
             )
         else:
             sweep = self.riccati_scan

@@ -95,7 +95,12 @@ class ILQRSolver:
         rho = jnp.asarray(rho, exp.A.dtype)
         drho = jnp.asarray(drho, exp.A.dtype)
         if self.opts.backward_pass == "pscan":
-            return pscan.backward_pass_pscan(exp, rho, drho, self.opts)
+            raise ValueError(
+                "backward_pass='pscan' was retired in r5 (measured slower "
+                "than the sequential sweep everywhere and f32-divergent at "
+                "long horizons - PARITY.md); call "
+                "solver.pscan.backward_pass_pscan directly for research use"
+            )
         return backward_pass(exp, rho, drho, self.opts)
 
     def closed_loop_rollout(self, params, Z: Trajectory, K, d, alpha):

@@ -73,3 +73,21 @@ def _clear_jax_caches_per_module():
     """
     yield
     jax.clear_caches()
+
+
+# `-m quick` (r5): fast golden-parity subset for CI triage — the full
+# suite is compile-heavy (>10 min on a 2-core host).  The subset is the
+# reference-golden core: AL/iLQR parity, problem layer, cones, riccati.
+_QUICK_MODULES = {
+    "test_al.py",
+    "test_ilqr.py",
+    "test_problem_layer.py",
+    "test_cones.py",
+    "test_riccati.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)

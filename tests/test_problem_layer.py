@@ -175,3 +175,51 @@ def test_derivative_checker_known_functions():
         ]
     )
     np.testing.assert_allclose(H, H_exact, atol=1e-4)
+
+
+def test_dynamics_hessian_vector_product_unicycle():
+    """`hessian_vp` (r5: the reference's FunctionBase::Hessian surface,
+    `functionbase.hpp:53-87`) against the unicycle's analytic form
+    (`examples/unicycle.cpp:33-43`): for f = [v cosθ, v sinθ, ω],
+    ∂²(bᵀf) has -b0 v cosθ - b1 v sinθ at (θ,θ) and
+    -b0 sinθ + b1 cosθ at (θ,v), zero elsewhere."""
+    from altro_tpu.models.unicycle import unicycle
+
+    model = unicycle()
+    x = jnp.array([0.3, -0.2, 0.7])
+    u = jnp.array([1.1, 0.4])
+    b = jnp.array([0.5, -1.2, 2.0])
+    H = np.asarray(model.hessian_vp(x, u, 0.0, b))
+    assert H.shape == (5, 5)
+    th, v = float(x[2]), float(u[0])
+    b0, b1 = float(b[0]), float(b[1])
+    expect = np.zeros((5, 5))
+    expect[2, 2] = -b0 * v * np.cos(th) - b1 * v * np.sin(th)
+    expect[2, 3] = expect[3, 2] = -b0 * np.sin(th) + b1 * np.cos(th)
+    np.testing.assert_allclose(H, expect, atol=1e-12)
+
+    # discrete (RK4) variant cross-checked by finite differences
+    from altro_tpu.problem.dynamics import discretize
+
+    dm = discretize(model, "rk4")
+    h = 0.05
+    Hd = np.asarray(dm.hessian_vp(x, u, 0.0, h, b))
+    z0 = np.concatenate([np.asarray(x), np.asarray(u)])
+
+    def grad(z):
+        import jax as _jax
+
+        def scalar(zz):
+            return jnp.dot(b, dm.fn(dm.params, zz[:3], zz[3:], 0.0, h))
+
+        return np.asarray(_jax.grad(scalar)(jnp.asarray(z)))
+
+    eps = 1e-6
+    fd = np.stack(
+        [
+            (grad(z0 + eps * np.eye(5)[i]) - grad(z0 - eps * np.eye(5)[i]))
+            / (2 * eps)
+            for i in range(5)
+        ]
+    )
+    np.testing.assert_allclose(Hd, fd, atol=1e-5)

@@ -102,15 +102,32 @@ def test_pscan_sweep_matches_per_instance_pscan_regularized():
         np.testing.assert_allclose(v22[b], bp.dV2, atol=1e-9)
 
 
+def test_pscan_option_retired():
+    """backward_pass='pscan' was retired in r5 — selecting it must fail
+    loudly, pointing at the research entry points."""
+    prob, params, Zb = _setup()
+    import pytest as _pytest
+
+    s = ALSolverBatched(prob, SolverOptions(backward_pass="pscan"))
+    al = s.al_state_init(Zb.X.shape[-1], Zb.X.dtype)
+    exp = s.expand(params, al, s.rollout(params, Zb))
+    B = Zb.X.shape[-1]
+    with _pytest.raises(ValueError, match="retired"):
+        s.backward_pass(exp, jnp.zeros((B,)), jnp.zeros((B,)))
+
+
 def test_pscan_full_solve_matches_scan():
-    """backward_pass='pscan' follows the same iteration path end-to-end."""
+    """The pscan sweep (research note) follows the same iteration path
+    end-to-end when routed through the batched solver."""
     prob, params, Zb = _setup()
     r1 = jax.jit(ALSolverBatched(prob, SolverOptions(backward_pass="scan")).solve)(
         params, Zb
     )
-    r2 = jax.jit(ALSolverBatched(prob, SolverOptions(backward_pass="pscan")).solve)(
-        params, Zb
+    s2 = ALSolverBatched(prob, SolverOptions(backward_pass="scan"))
+    s2.riccati_scan = lambda exp, rho: riccati_pscan_batched(
+        exp, rho, gain_limit=s2.opts.bp_gain_limit
     )
+    r2 = jax.jit(s2.solve)(params, Zb)
     np.testing.assert_array_equal(np.asarray(r1["status"]), np.asarray(r2["status"]))
     assert np.all(np.asarray(r1["status"]) == SolverStatus.SOLVED)
     np.testing.assert_array_equal(
@@ -139,9 +156,12 @@ def test_pscan_cholesky_failure_mask():
     np.testing.assert_array_equal(
         np.asarray(failed), np.asarray([False, True, False, False])
     )
-    # retry loop recovers via per-instance regularization
-    out = ALSolverBatched(
-        prob, SolverOptions(backward_pass="pscan")
-    ).backward_pass(exp_bad, rho, jnp.zeros((B,)))
+    # retry loop recovers via per-instance regularization (pscan sweep
+    # routed directly; the option itself is retired)
+    s_ps = ALSolverBatched(prob, SolverOptions(backward_pass="scan"))
+    s_ps.riccati_scan = lambda e, r: riccati_pscan_batched(
+        e, r, gain_limit=s_ps.opts.bp_gain_limit
+    )
+    out = s_ps.backward_pass(exp_bad, rho, jnp.zeros((B,)))
     assert not np.any(np.asarray(out["failed"]))
     assert np.asarray(out["rho"])[1] > 0.0

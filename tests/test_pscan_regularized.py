@@ -29,11 +29,35 @@ def parking():
     return defn, prob
 
 
-def _opts(backward):
+def _opts(backward="scan", **kw):
     # bp_reg_initial=1.0 forces rho=1 into the FIRST backward pass; the
     # schedule then decays it (`ilqr.hpp:770-786`), so early iterations are
     # genuinely damped and late ones approach the pure Newton step.
-    return SolverOptions(backward_pass=backward, bp_reg_initial=1.0)
+    return SolverOptions(backward_pass=backward, bp_reg_initial=1.0, **kw)
+
+
+def _patch_pscan(solver):
+    """Route a solver's backward sweep through the RETIRED pscan research
+    implementation (the backward_pass='pscan' OPTION was removed in r5 —
+    measured slower everywhere, PARITY.md:149-178 — but the implementation
+    stays validated as a research note via these tests)."""
+    from altro_tpu.solver import pscan
+
+    if isinstance(solver, ALSolverBatched):
+        from altro_tpu.solver.pscan_batched import riccati_pscan_batched
+
+        solver.riccati_scan = lambda exp, rho: riccati_pscan_batched(
+            exp, rho, gain_limit=solver.opts.bp_gain_limit
+        )
+    else:
+
+        def bp(exp, rho=0.0, drho=0.0):
+            rho = jnp.asarray(rho, exp.A.dtype)
+            drho = jnp.asarray(drho, exp.A.dtype)
+            return pscan.backward_pass_pscan(exp, rho, drho, solver.opts)
+
+        solver.backward_pass = bp
+    return solver
 
 
 @pytest.fixture(scope="module")
@@ -58,7 +82,7 @@ def test_pscan_per_instance_solves_golden_under_forced_reg(
     construction (regularized vs mixed propagation), but both must converge
     to the reference J with bounded iteration inflation."""
     defn, prob = parking
-    solver = ILQRSolver(prob, _opts("pscan"))
+    solver = _patch_pscan(ILQRSolver(prob, _opts()))
     res = jax.jit(solver.solve)(prob.params, (), defn.initial_trajectory())
     assert int(res.status) == int(SolverStatus.SOLVED)
     np.testing.assert_allclose(float(res.stats.cost), J_GOLDEN, rtol=1e-6)
@@ -77,7 +101,7 @@ def test_pscan_batched_solves_golden_under_forced_reg(parking, scan_reg_solve):
             lambda l: jnp.broadcast_to(l, (B,) + l.shape), Z0
         )
     )
-    fb = ALSolverBatched(prob, _opts("pscan"))
+    fb = _patch_pscan(ALSolverBatched(prob, _opts()))
     res = jax.jit(fb.solve)(prob.params, Zb)
     assert np.all(np.asarray(res["status"]) == int(SolverStatus.SOLVED))
     np.testing.assert_allclose(
@@ -96,12 +120,9 @@ def test_pscan_constrained_al_solve_under_forced_reg(parking):
     prob = defn.make_problem(add_constraints=True).compile()
     solver = ALSolver(
         prob,
-        SolverOptions(
-            backward_pass="pscan",
-            bp_reg_initial=1.0,
-            constraint_tolerance=1e-6,
-        ),
+        SolverOptions(bp_reg_initial=1.0, constraint_tolerance=1e-6),
     )
+    _patch_pscan(solver.ilqr)
     res = jax.jit(solver.solve)(prob.params, defn.initial_trajectory())
     assert int(res.status) == int(SolverStatus.SOLVED)
     # Compare the RAW trajectory cost: the damped pscan path takes more

@@ -41,7 +41,18 @@ def test_pscan_full_solve_matches():
     """Unicycle inner solve via pscan: same 9 iterations and cost."""
     defn = UnicycleProblem()
     prob = defn.make_problem(add_constraints=False).compile()
-    solver = ILQRSolver(prob, SolverOptions(backward_pass="pscan"))
+    solver = ILQRSolver(prob, SolverOptions())
+    # backward_pass="pscan" was RETIRED as an option in r5 (measured
+    # slower everywhere, PARITY.md) — drive the research implementation
+    # directly to keep it validated at full-solve level
+    _bp = solver.backward_pass
+
+    def _pscan_bp(exp, rho=0.0, drho=0.0):
+        rho = jnp.asarray(rho, exp.A.dtype)
+        drho = jnp.asarray(drho, exp.A.dtype)
+        return pscan.backward_pass_pscan(exp, rho, drho, solver.opts)
+
+    solver.backward_pass = _pscan_bp
     res = solver.solve(prob.params, (), defn.initial_trajectory())
     assert int(res.status) == SolverStatus.SOLVED
     assert int(res.stats.iterations_inner) == 9
