@@ -103,6 +103,8 @@ class CompactedALSolver:
         restart_portfolio: tuple = (),
         restart_width: int = 0,
         restart_rounds: int = 1,
+        detect_infeasible: bool = False,
+        infeasible_step_bound: float = 0.0,
     ):
         self.prob = prob
         self.opts = opts or SolverOptions()
@@ -128,8 +130,16 @@ class CompactedALSolver:
         self.restart_portfolio = tuple(restart_portfolio)
         self.restart_width = int(restart_width)
         self.restart_rounds = int(restart_rounds)
+        # Structural infeasibility certificates (r5): provably-conflicting
+        # layouts (goal inside an obstacle — `problem/infeasibility.py`)
+        # never iterate and report SolverStatus.INFEASIBLE, so fleet
+        # solved%% measures the solver, not the sampler.
+        self.detect_infeasible = bool(detect_infeasible)
+        self.infeasible_step_bound = float(infeasible_step_bound)
         if self.restart_portfolio and not self.device_tail:
             raise ValueError("restart_portfolio requires device_tail=True")
+        if self.detect_infeasible and not self.device_tail:
+            raise ValueError("detect_infeasible requires device_tail=True")
         self._polish_solve = None
         self._device_solve = None
         self.telemetry: dict = {}
@@ -223,8 +233,18 @@ class CompactedALSolver:
             )
 
         def run(params, Zb, al):
-            res = self._p1.solve(params, Zb, al)
-            B = res["status"].shape[0]
+            B = Zb.X.shape[-1]
+            infeasible = None
+            if self.detect_infeasible:
+                from ..problem.infeasibility import goal_obstacle_certificates
+
+                infeasible = goal_obstacle_certificates(
+                    self.prob, params, B,
+                    step_bound=self.infeasible_step_bound,
+                )
+                res = self._p1.solve(params, Zb, al, active=~infeasible)
+            else:
+                res = self._p1.solve(params, Zb, al)
             # enough rounds to cover EVERY lane (matching the host path,
             # which chunks all stragglers each round); rounds whose
             # gathered lanes are already finished are ~free
@@ -235,6 +255,8 @@ class CompactedALSolver:
             # `undone &= False` analog); without this a SOLVED_STALLED
             # lane would be re-gathered every round
             tried = jnp.zeros((B,), bool)
+            if infeasible is not None:
+                tried = tried | infeasible  # certified lanes never resume
             for _ in range(rounds):
                 status = res["status"]
                 undone = (status[:, None] == codes[None, :]).any(axis=1)
@@ -252,12 +274,21 @@ class CompactedALSolver:
 
             V = len(self.restart_portfolio)
             if V:
-                res = self._portfolio_rounds(params, Zb, res, V)
+                res = self._portfolio_rounds(
+                    params, Zb, res, V, skip=infeasible
+                )
+            if infeasible is not None:
+                res = dict(res)
+                res["status"] = jnp.where(
+                    infeasible,
+                    jnp.int32(SolverStatus.INFEASIBLE),
+                    res["status"],
+                )
             return res
 
         return run
 
-    def _portfolio_rounds(self, params, Zb, res, V):
+    def _portfolio_rounds(self, params, Zb, res, V, skip=None):
         """Fresh-restart cascade stage of the device program — see the
         `restart_portfolio` constructor doc.
 
@@ -321,6 +352,8 @@ class CompactedALSolver:
                     for f in self.prob.constraint_families
                 )
                 undone = res["status"] != solved_code
+                if skip is not None:
+                    undone = undone & ~skip
                 order = jnp.argsort(~undone, stable=True)
                 idx = order[:R]
                 real = undone[idx]

@@ -35,6 +35,14 @@ class SolverStatus(enum.IntEnum):
     # downstream "solved" checks don't silently absorb non-convergence;
     # constraint satisfaction is still checked by the AL outer loop.
     SOLVED_STALLED = 10
+    # TPU extension (r5): the instance's constraints are PROVABLY mutually
+    # unsatisfiable (e.g. an equality goal strictly inside an obstacle
+    # disc that is constrained at the same knot — see
+    # `problem/infeasibility.py`).  Reported instead of burning the full
+    # iteration budget to MAX_PENALTY, so fleet "solved%" measures the
+    # solver, not the scenario sampler.  One step past the reference's
+    # constraint introspection (`al_solver.hpp:68-104`).
+    INFEASIBLE = 11
 
 
 @pytree_dataclass

@@ -122,6 +122,13 @@ def main() -> None:
                 ),
                 restart_width=1024,
                 restart_rounds=1,
+                # structural infeasibility certificates (goal unreachably
+                # deep inside an obstacle given v_max*h travel per step);
+                # this sampler is feasible-by-construction, so the expected
+                # INFEASIBLE count is 0 — the certificate guards solved%
+                # against sampler drift
+                detect_infeasible=True,
+                infeasible_step_bound=float(defn.v_bnd * defn.tf / defn.N),
             )
         # scenario config per the measured sweep
         # (perf/obstacle_f32_floor.out): reference-default 20-try search

@@ -74,6 +74,10 @@ def main() -> None:
     prob = defn.make_problem(add_constraints=True).compile()
     opts = bench.bench_options()
     solver = ALSolverBatched(prob, opts)
+    # measure the SHIPPED kernel variants for this batch width (r5: wide
+    # (32,128) tiles + multi-knot time blocks)
+    bwd = solver._kern_for("bwd", solver._bwd, B)
+    fwd = solver._kern_for("fwd", solver._fwd, B)
     N, n, m = prob.N, prob.n, prob.m
     rng = np.random.default_rng(0)
     params = prob.params.replace(
@@ -85,7 +89,7 @@ def main() -> None:
     ))
     Zb = jax.jit(solver.rollout)(params, Zb)
     al = solver.al_state_init(B, jnp.float32)
-    al_pad = solver._bwd.pad_al(al)
+    al_pad = bwd.pad_al(al)
     rho = jnp.zeros((B,), jnp.float32)
     K = jnp.zeros((N, m, n, B), jnp.float32)
     d = jnp.zeros((N, m, B), jnp.float32)
@@ -93,7 +97,7 @@ def main() -> None:
 
     # streamed AL rows per knot (stage families only; see pad_al)
     sum_p = sum(
-        f["p"] + 1 for f in solver._bwd._con_fams if f["stage"]
+        f["p"] + 1 for f in bwd._con_fams if f["stage"]
     )
 
     rows = []
@@ -102,7 +106,7 @@ def main() -> None:
     def mk_bwd(chain):
         def run():
             def body(i, r):
-                K, d, dV1, dV2, failed, J0 = solver._bwd(params, al_pad, Zb, r)
+                K, d, dV1, dV2, failed, J0 = bwd(params, al_pad, Zb, r)
                 dep = d.reshape(-1)[0]
                 return r + jnp.where(jnp.isfinite(dep), dep * 0.0, 0.0)
 
@@ -125,7 +129,7 @@ def main() -> None:
     def mk_fwd(chain):
         def run():
             def body(i, a):
-                Xn, Ubar, J, valid, status = solver._fwd(
+                Xn, Ubar, J, valid, status = fwd(
                     params, al_pad, Zb, K, d, a, check_bounds=True
                 )
                 dep = J.reshape(-1)[0]
@@ -167,11 +171,17 @@ def main() -> None:
         }), flush=True)
     print(json.dumps({
         "note": (
-            "per-grid-step work is tiny (1024 lanes x ~1k flops) and the "
-            "time axis is sequential: the gap to SOL is grid-step latency, "
-            "not bandwidth or compute; the lever is more lanes per step "
-            "(B=8192 shows 19% per-instance headroom, "
-            "perf/profile_batch_scaling.out)"
+            "r5 verdict: NOT grid-step-latency-bound after all — "
+            "multi-knot time blocks (Tb=10) plus (32,128) tiles cut the "
+            "sequential grid steps 40x yet the backward wall only moved "
+            "1.15 -> 0.86-1.10 ms (ambient-load range).  The kernels are "
+            "VPU-INSTRUCTION-bound: ~2k vector ops per knot-tile (stacks, "
+            "selects, divides, sqrt, transcendentals) vs the ~1k useful "
+            "flops XLA cost analysis counts, so the flop-based SOL "
+            "understates the real instruction floor ~10x.  Remaining "
+            "levers are op-count reductions in the body (symmetric-"
+            "product elision ~25%, linearize-primal reuse ~5%), not "
+            "scheduling"
         ),
         "assumptions": {
             "HBM_GBps": HBM_GBPS, "VPU_TFLOPS_estimate": VPU_TFLOPS,
