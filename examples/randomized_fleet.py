@@ -63,8 +63,22 @@ Zb = to_batch_last(jax.tree_util.tree_map(
 solver = CompactedALSolver(
     prob,
     SolverOptions(initial_penalty=1.0, line_search_max_iterations=20,
-                  max_stall_iterations=10),
-    phase1_iters=14, tail_batch=min(1024, B), f64_polish=True,
+                  max_stall_iterations=10, outer_constraints_f64=True),
+    phase1_iters=14, tail_batch=min(1024, B),
+    # r5: single-dispatch device pipeline + all-f32 fresh-restart cascade
+    # (each penalty-ladder variant retries whatever the earlier ones
+    # failed) + structural infeasibility certificates
+    device_tail=True,
+    restart_portfolio=(
+        dict(),
+        dict(penalty_scaling=4.0, max_iterations_outer=60,
+             max_iterations_total=900),
+        dict(penalty_scaling=1.5, max_iterations_outer=120,
+             max_iterations_total=1100),
+    ),
+    restart_width=min(1024, B),
+    detect_infeasible=True,
+    infeasible_step_bound=float(defn.v_bnd * defn.tf / defn.N),
 )
 res = solver.solve(params, Zb)
 status = np.asarray(res["status"])
@@ -79,5 +93,5 @@ d = np.sqrt((X[:, 0, None, :] - cx[None]) ** 2
 print(f"min clearance vs own layout: {d.min(axis=(0, 1)).min():+.4f} m")
 goal_err = np.abs(X[-1] - np.asarray(xf)).max(axis=0)
 print(f"goal error p99: {np.percentile(goal_err, 99):.5f}")
-if solver.telemetry.get("polish"):
-    print("f64 polish:", solver.telemetry["polish"])
+print("iters p50/p99:", solver.telemetry["iters_p50"],
+      solver.telemetry["iters_p99"])
