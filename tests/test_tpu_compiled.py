@@ -206,3 +206,94 @@ def test_compiled_per_instance_goals_parking():
     both = (sk == int(SolverStatus.SOLVED)) & (ss == int(SolverStatus.SOLVED))
     dU = np.abs(np.asarray(rk["Z"].U)[..., both] - np.asarray(rs["Z"].U)[..., both])
     assert float(np.percentile(dU, 99)) <= 2e-2
+
+
+def test_compiled_wide_sublane_kernels_match_default():
+    """r5: the wide batch-tile kernel variants ((16,128) at B=2048) must
+    reproduce the (8,128) kernels' results on the compiled path — the
+    per-lane arithmetic is identical, only the tile partitioning differs
+    (bit-identical in interpret mode; compiled Mosaic may re-fuse, so the
+    contract here is statuses bit-equal + endpoints in the f32 ball)."""
+    import jax.numpy as jnp
+
+    from altro_tpu import SolverOptions
+    from altro_tpu.models.problems import UnicycleProblem
+    from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
+
+    batch = 2048
+    defn = UnicycleProblem(dtype=jnp.float32)
+    prob = defn.make_problem(add_constraints=True).compile()
+    rng = np.random.default_rng(0)
+    params = prob.params.replace(
+        x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, batch)), jnp.float32)
+    )
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (batch,) + l.shape), Z0
+        )
+    )
+    base = SolverOptions(
+        initial_penalty=1.0, max_stall_iterations=3,
+        backward_pass="fused", forward_pass="pallas",
+    )
+    s8 = ALSolverBatched(prob, base.replace(kernel_sublanes=8))
+    sw = ALSolverBatched(prob, base)  # auto -> 16 at B=2048
+    assert sw._kern_for("bwd", sw._bwd, batch).sub == 16
+    r8 = jax.jit(s8.solve)(params, Zb)
+    rw = jax.jit(sw.solve)(params, Zb)
+    np.testing.assert_array_equal(
+        np.asarray(r8["status"]), np.asarray(rw["status"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8["Z"].U), np.asarray(rw["Z"].U), atol=5e-3
+    )
+
+
+def test_compiled_device_cascade_improves_obstacle_fleet():
+    """r5: the single-dispatch device pipeline (tail + restart cascade)
+    on the compiled kernels converts the obstacle fleet's residue."""
+    import jax.numpy as jnp
+
+    from altro_tpu import SolverOptions, SolverStatus
+    from altro_tpu.models.problems import UnicycleProblem
+    from altro_tpu.solver.batched import ALSolverBatched, to_batch_last
+    from altro_tpu.solver.compaction import CompactedALSolver
+
+    batch = 1024
+    defn = UnicycleProblem(scenario="three_obstacles", dtype=jnp.float32)
+    prob = defn.make_problem(add_constraints=True).compile()
+    rng = np.random.default_rng(0)
+    params = prob.params.replace(
+        x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, batch)), jnp.float32)
+    )
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (batch,) + l.shape), Z0
+        )
+    )
+    opts = SolverOptions(
+        initial_penalty=1.0, line_search_max_iterations=20,
+        max_stall_iterations=10, outer_constraints_f64=True,
+        backward_pass="fused", forward_pass="pallas",
+    )
+    plain = ALSolverBatched(prob, opts)
+    rp = jax.jit(plain.solve)(params, Zb)
+    casc = CompactedALSolver(
+        prob, opts, phase1_iters=14, tail_batch=batch, device_tail=True,
+        restart_portfolio=(
+            dict(),
+            dict(penalty_scaling=4.0, max_iterations_outer=60,
+                 max_iterations_total=900),
+            dict(penalty_scaling=1.5, max_iterations_outer=120,
+                 max_iterations_total=1100),
+        ),
+        restart_width=batch,
+    )
+    rc = casc.solve(params, Zb)
+    solved = int(SolverStatus.SOLVED)
+    n_plain = int((np.asarray(rp["status"]) == solved).sum())
+    n_casc = int((np.asarray(rc["status"]) == solved).sum())
+    assert n_casc > n_plain
+    assert n_casc >= int(0.98 * batch), (n_casc, batch)
