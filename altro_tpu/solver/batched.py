@@ -1239,9 +1239,15 @@ class ALSolverBatched:
         Z_s = dataclasses.replace(Z, X=tile(Z.X), U=tile(Z.U))
         K_s, d_s = tile(bp["K"]), tile(bp["d"])
         al_pad_s = jax.tree_util.tree_map(tile, al_pad)
-        x0 = params.x0
-        params_s = (
-            params.replace(x0=tile(x0)) if x0.ndim > 1 else params
+        # EVERY per-instance (trailing-batch) param leaf must widen with
+        # the lanes — x0, and any batched cost/constraint/dynamics data
+        # (the `batch_axes` convention); shared leaves stay as they are
+        params_s = jax.tree_util.tree_map(
+            lambda c, l: (
+                tile(l) if jnp.ndim(l) == jnp.ndim(c) + 1 else l
+            ),
+            self.prob.params,
+            params,
         )
         facs = (inv_f ** jnp.arange(S, dtype=dt))[:, None]  # [S, 1]
         cand = jnp.arange(S, dtype=jnp.int32)[:, None]  # [S, 1]

@@ -313,3 +313,59 @@ def test_speculative_width_smaller_than_backtrack_depth():
         np.asarray(res_spec["Z"].U), np.asarray(res_seq["Z"].U),
         rtol=1e-12, atol=1e-14,
     )
+
+
+def test_speculative_line_search_with_per_instance_params():
+    """r5 regression: the speculative search must widen EVERY per-instance
+    param leaf with the lanes (it previously tiled only x0, so batched
+    obstacle layouts / goal refs hit a reshape error in the kernel)."""
+    dtype = jnp.float64
+    defn = UnicycleProblem(scenario="three_obstacles", dtype=dtype)
+    defn.N = 12
+    defn.__post_init__()
+    prob = defn.make_problem(add_constraints=True).compile()
+    rng = np.random.default_rng(3)
+    cx0, cy0, r0 = defn.obstacles
+    ci = next(
+        i for i, f in enumerate(prob.constraint_families)
+        if f.constraint.structure[0] == "circle"
+    )
+    cons = list(prob.params.constraints)
+    cons[ci] = dict(
+        cons[ci],
+        cx=jnp.asarray(cx0[:, None] + rng.uniform(-0.1, 0.1, (3, TILE)), dtype),
+        cy=jnp.asarray(cy0[:, None] + rng.uniform(-0.1, 0.1, (3, TILE)), dtype),
+    )
+    params = prob.params.replace(
+        x0=jnp.asarray(rng.uniform(-0.1, 0.1, (3, TILE)), dtype),
+        constraints=tuple(cons),
+    )
+    Z0 = defn.initial_trajectory()
+    Zb = to_batch_last(
+        jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (TILE,) + l.shape), Z0
+        )
+    )
+
+    def solve(S):
+        opts = SolverOptions(
+            forward_pass="pallas", line_search_parallel=S,
+            initial_penalty=10.0,
+        )
+        solver = ALSolverBatched(prob, opts)
+        solver._fwd = build_forward_kernel(
+            prob, opts, interpret=True, dtype=dtype
+        )
+        assert solver._fwd is not None
+        assert solver._use_fwd(params, Zb)
+        return solver.solve(params, Zb)
+
+    res_seq = solve(1)
+    res_spec = solve(4)
+    np.testing.assert_array_equal(
+        np.asarray(res_spec["status"]), np.asarray(res_seq["status"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_spec["Z"].U), np.asarray(res_seq["Z"].U),
+        rtol=1e-12, atol=1e-14,
+    )
