@@ -493,9 +493,11 @@ class BackwardFusedKernel(ForwardKernel):
 
                 KtQuu = _mm(_mT(K), Quu)
                 p_new = Qx + _mv(KtQuu, d) + _mv(_mT(K), Qu) + _mv(Qxu, d)
-                P_new = (
-                    Qxx + _mm(KtQuu, K) + _mm(_mT(K), _mT(Qxu)) + _mm(Qxu, K)
-                )
+                # KᵀQxuᵀ = (QxuK)ᵀ with identical per-term products and
+                # summation order — reuse the transpose, saving one n×n
+                # multiply per knot (bitwise identical)
+                QK = _mm(Qxu, K)
+                P_new = Qxx + _mm(KtQuu, K) + _mT(QK) + QK
                 dV1_new = (d * Qu).sum(axis=0)
                 dV2_new = 0.5 * (d * _mv(Quu, d)).sum(axis=0)
 

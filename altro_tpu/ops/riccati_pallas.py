@@ -159,7 +159,10 @@ def _kernel(
     # CalcCostToGo (`knot_point_function_type.hpp:220-230`)
     KtQuu = _mm(_mT(K), Quu)
     p_new = Qx + _mv(KtQuu, d) + _mv(_mT(K), Qu) + _mv(Qxu, d)
-    P_new = Qxx + _mm(KtQuu, K) + _mm(_mT(K), _mT(Qxu)) + _mm(Qxu, K)
+    # KᵀQxuᵀ = (QxuK)ᵀ, same products/summation order — reuse the
+    # transpose (bitwise identical, one fewer n×n multiply per knot)
+    QK = _mm(Qxu, K)
+    P_new = Qxx + _mm(KtQuu, K) + _mT(QK) + QK
 
     dV1_new = (d * Qu).sum(axis=0)
     dV2_new = 0.5 * (d * _mv(Quu, d)).sum(axis=0)
