@@ -56,11 +56,12 @@ class BackwardFusedKernel(ForwardKernel):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        # Multi-knot time blocks (r5): the sweep is grid-step latency-bound
-        # (perf/roofline.out: 1.15 ms vs 0.065 ms SOL at one knot/step), so
-        # stream Tb knots per grid step and unroll the recursion over them
-        # with the cost-to-go carry in registers — N/Tb sequential grid
-        # steps instead of N, same streamed bytes.
+        # Multi-knot time blocks (r5): stream Tb knots per grid step and
+        # unroll the recursion over them with the cost-to-go carry in
+        # registers — N/Tb sequential grid steps instead of N, same
+        # streamed bytes.  Measured worth ~10-25% (with the wide tiles);
+        # the body itself is VPU-instruction-bound, so fewer grid steps
+        # only shave the per-step overhead (perf/roofline.out r5 note).
         n, m = self.n, self.m
         sum_p = sum(f["p"] + 1 for f in self._con_fams if f["stage"])
         per_step = (n + m + sum_p + m * n + m) * self.tile * 4
