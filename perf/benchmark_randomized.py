@@ -129,6 +129,11 @@ def main() -> None:
                 # against sampler drift
                 detect_infeasible=True,
                 infeasible_step_bound=float(defn.v_bnd * defn.tf / defn.N),
+                # fail-fast: instances that will not converge under the
+                # base ladder reach the cascade after ~120 iterations
+                # instead of burning the full 300 (measured: +4% rate,
+                # -0.1% solved)
+                max_iterations_total=120,
             )
         # scenario config per the measured sweep
         # (perf/obstacle_f32_floor.out): reference-default 20-try search
